@@ -1,0 +1,160 @@
+"""Anchor generation and the empty-anchor filter.
+
+Anchor machinery parity: reference ``make_bases``/``make_anchors``
+(src/net/rpn_target_op.py:9-115) — these run once at setup time in numpy (the
+results are static arrays baked into the jitted graph).
+
+The empty-anchor filter replaces the reference's dedicated PyCUDA kernel
+(src/net/utility/remove_empty_box_kernel.cu + remove_empty_box.py:25-47, run
+on the host before *every* forward, mv3d.py:280,1139) with a 2D-cumsum
+integral image + 4 gathers inside the graph: O(HW + A) instead of O(A * area),
+and zero host round-trips.
+"""
+
+from __future__ import annotations
+
+from typing import Tuple
+
+import jax.numpy as jnp
+import numpy as np
+
+from ..config import Config, cfg as _default_cfg
+
+
+# ---------------------------------------------------------------------------
+# bases (numpy, setup time)
+# ---------------------------------------------------------------------------
+
+def _bases_given_ws_hs(ws, hs, cx, cy):
+    ws = ws[:, None]
+    hs = hs[:, None]
+    return np.hstack((cx - 0.5 * (ws - 1), cy - 0.5 * (hs - 1),
+                      cx + 0.5 * (ws - 1), cy + 0.5 * (hs - 1)))
+
+
+def make_bases(base_size=16, ratios=(0.5, 1, 2), scales=(8, 16, 32)) -> np.ndarray:
+    """Enumerate ratio x scale anchor bases around a reference box.
+
+    Parity: reference ``make_bases`` (rpn_target_op.py:53-64).
+    """
+    ratios = np.asarray(ratios, dtype=np.float64)
+    scales = np.asarray(scales, dtype=np.float64)
+    base = np.array([1, 1, base_size, base_size], dtype=np.float64) - 1
+    w = base[2] - base[0] + 1
+    h = base[3] - base[1] + 1
+    cx = base[0] + 0.5 * (w - 1)
+    cy = base[1] + 0.5 * (h - 1)
+    size = w * h
+    ws_r = np.round(np.sqrt(size / ratios))
+    hs_r = np.round(ws_r * ratios)
+    ratio_bases = _bases_given_ws_hs(ws_r, hs_r, cx, cy)
+
+    out = []
+    for rb in ratio_bases:
+        w = rb[2] - rb[0] + 1
+        h = rb[3] - rb[1] + 1
+        cx = rb[0] + 0.5 * (w - 1)
+        cy = rb[1] + 0.5 * (h - 1)
+        out.append(_bases_given_ws_hs(w * scales, h * scales, cx, cy))
+    return np.vstack(out)
+
+
+def mv3d_car_bases() -> np.ndarray:
+    """The 4 hard-coded MV3D car bases actually used (reference mv3d.py:186-191)."""
+    return np.array([
+        [4.5, 2.5, 10.5, 12.5],
+        [2.5, 4.5, 12.5, 10.5],
+        [-0.5, -12.0, 15.5, 27.0],
+        [-12.0, -0.5, 27.0, 15.5],
+    ])
+
+
+def make_anchors(bases: np.ndarray, stride: int,
+                 image_shape: Tuple[int, int],
+                 feature_shape: Tuple[int, int],
+                 allowed_border: int = 0) -> Tuple[np.ndarray, np.ndarray]:
+    """Shift bases over the stride grid; returns (anchors (A,4) int32,
+    inside_mask (A,) bool).
+
+    Parity: reference ``make_anchors`` (rpn_target_op.py:86-115), except the
+    inside set is returned as a mask rather than dynamic indices (jit-friendly).
+    Note: like the reference, x spans the feature *width* (image dim 1) and y
+    the *height* (image dim 0).
+    """
+    H, W = feature_shape
+    img_height, img_width = image_shape
+
+    shift_x = np.arange(0, W) * stride
+    shift_y = np.arange(0, H) * stride
+    shift_x, shift_y = np.meshgrid(shift_x, shift_y)
+    shifts = np.vstack((shift_x.ravel(), shift_y.ravel(),
+                        shift_x.ravel(), shift_y.ravel())).transpose()
+
+    B = len(bases)
+    HW = len(shifts)
+    anchors = (bases.reshape((1, B, 4)) +
+               shifts.reshape((1, HW, 4)).transpose((1, 0, 2)))
+    anchors = anchors.reshape((HW * B, 4)).astype(np.int32)
+
+    inside = ((anchors[:, 0] >= -allowed_border) &
+              (anchors[:, 1] >= -allowed_border) &
+              (anchors[:, 2] < img_width + allowed_border) &
+              (anchors[:, 3] < img_height + allowed_border))
+    return anchors, inside
+
+
+# ---------------------------------------------------------------------------
+# empty-anchor filter (in-graph)
+# ---------------------------------------------------------------------------
+
+def non_empty_anchor_mask(top_view: jnp.ndarray, anchors: jnp.ndarray,
+                          threshold: float = 0.0) -> jnp.ndarray:
+    """Mask of anchors whose footprint on the BEV map has mass > threshold.
+
+    Replaces the reference PyCUDA ``remove_empty`` kernel
+    (remove_empty_box_kernel.cu:12-42): the kernel sums
+    ``view[y1:y2, x1:x2, :]`` (box coords (x1,y1,x2,y2) with y indexing view
+    rows; bounds exclusive at the top; each coordinate clamped into
+    [0, dim-1]) and keeps anchors with ``sum > threshold``
+    (remove_empty_box.py:46-47).
+
+    Implemented with an integral image (exclusive 2D cumsum) + 4 gathers.
+
+    Args:
+      top_view: (H, W, C) BEV map.
+      anchors: (A, 4) int32 (x1, y1, x2, y2) with x across W, y across H.
+    Returns:
+      (A,) bool mask.
+    """
+    h, w = top_view.shape[0], top_view.shape[1]
+    occ = jnp.sum(top_view, axis=-1)
+    # exclusive-prefix integral image: S[i, j] = sum(occ[:i, :j])
+    s = jnp.pad(jnp.cumsum(jnp.cumsum(occ, axis=0), axis=1),
+                ((1, 0), (1, 0)))
+
+    # the CUDA wrapper clamps every coordinate into [0, dim-1]
+    x1 = jnp.clip(anchors[:, 0], 0, w - 1)
+    y1 = jnp.clip(anchors[:, 1], 0, h - 1)
+    x2 = jnp.clip(anchors[:, 2], 0, w - 1)
+    y2 = jnp.clip(anchors[:, 3], 0, h - 1)
+    # empty rect when x2<=x1 or y2<=y1 (kernel loops over x2-x1, y2-y1 lines)
+    x2 = jnp.maximum(x2, x1)
+    y2 = jnp.maximum(y2, y1)
+
+    rect = (s[y2, x2] - s[y1, x2] - s[y2, x1] + s[y1, x1])
+    return rect > threshold
+
+
+def anchor_setup(cfg: Config = _default_cfg) -> Tuple[np.ndarray, np.ndarray]:
+    """Build the full static anchor set for the configured top view.
+
+    Parity with MV3D.__init__ (mv3d.py:226-231): MV3D car bases over the
+    stride-8 feature grid; the reference then overrides inside_inds with
+    "use all", which we mirror by returning an all-true mask.
+    """
+    bases = mv3d_car_bases()
+    feat = cfg.top_feature_shape()
+    anchors, _ = make_anchors(bases, cfg.model.rpn_stride,
+                              cfg.top.shape[:2], feat)
+    inside = np.ones(len(anchors), dtype=bool)
+    return anchors, inside

@@ -1,0 +1,99 @@
+"""ROI feature extraction as pure-XLA gathers (differentiable, jit-safe).
+
+Replaces the reference's custom TF C++/CUDA ``RoiPool`` op
+(src/net/roipooling_op/roi_pooling_op.cc + roi_pooling_op_gpu.cu.cc:20-85,
+max-pool over dynamically sized bins with an argmax backward pass) with two
+TPU-friendly variants:
+
+  * :func:`roi_align` — bilinear ROI-align (the default): a fixed sampling-tap
+    grid per bin, averaged. Static shapes, clean gradients through ``gather``;
+    this is the standard modern replacement for ROI max-pool and maps well to
+    XLA (a handful of dynamic gathers + elementwise math, no custom vjp
+    needed).
+  * :func:`roi_pool_max` — max over the same fixed tap grid (closer in spirit
+    to the reference's max pooling; subgradient through max).
+
+Both take rois in *image/view* coordinates (x1, y1, x2, y2) with x across the
+feature width (dim 1) and y across the height (dim 0), plus a ``spatial_scale``
+mapping view pixels to feature cells — exactly the contract of the reference op
+(roi_pooling_op_gpu.cu.cc:38-41).
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+
+
+def _bilinear_sample(features: jnp.ndarray, ys: jnp.ndarray, xs: jnp.ndarray
+                     ) -> jnp.ndarray:
+    """Bilinear sample of (H, W, C) at float coords ys/xs of shape (...,)."""
+    h, w = features.shape[0], features.shape[1]
+    y0 = jnp.floor(ys)
+    x0 = jnp.floor(xs)
+    wy1 = ys - y0
+    wx1 = xs - x0
+    y0i = jnp.clip(y0.astype(jnp.int32), 0, h - 1)
+    x0i = jnp.clip(x0.astype(jnp.int32), 0, w - 1)
+    y1i = jnp.clip(y0i + 1, 0, h - 1)
+    x1i = jnp.clip(x0i + 1, 0, w - 1)
+
+    f00 = features[y0i, x0i]
+    f01 = features[y0i, x1i]
+    f10 = features[y1i, x0i]
+    f11 = features[y1i, x1i]
+    wy1 = wy1[..., None]
+    wx1 = wx1[..., None]
+    return (f00 * (1 - wy1) * (1 - wx1) + f01 * (1 - wy1) * wx1 +
+            f10 * wy1 * (1 - wx1) + f11 * wy1 * wx1)
+
+
+def _tap_grid(rois: jnp.ndarray, spatial_scale: float,
+              pooled: Tuple[int, int], samples: int):
+    """Sampling tap coordinates: (N, ph, pw, s, s) ys/xs in feature cells."""
+    ph, pw = pooled
+    x1 = rois[:, 0] * spatial_scale
+    y1 = rois[:, 1] * spatial_scale
+    x2 = rois[:, 2] * spatial_scale
+    y2 = rois[:, 3] * spatial_scale
+    # malformed ROIs snap to >= 1-cell extent, like the reference's
+    # "force malformed ROIs to be 1x1" (roi_pooling_op_gpu.cu.cc:43-45)
+    roi_w = jnp.maximum(x2 - x1, 1.0)
+    roi_h = jnp.maximum(y2 - y1, 1.0)
+    bin_w = roi_w / pw
+    bin_h = roi_h / ph
+
+    iy = (jnp.arange(samples) + 0.5) / samples          # (s,)
+    py = jnp.arange(ph)
+    px = jnp.arange(pw)
+    # ys: (N, ph, s) ; xs: (N, pw, s)
+    ys = (y1[:, None, None] +
+          (py[None, :, None] + iy[None, None, :]) * bin_h[:, None, None])
+    xs = (x1[:, None, None] +
+          (px[None, :, None] + iy[None, None, :]) * bin_w[:, None, None])
+    # broadcast to (N, ph, pw, s, s)
+    ys_full = ys[:, :, None, :, None]
+    xs_full = xs[:, None, :, None, :]
+    n = rois.shape[0]
+    ys_full = jnp.broadcast_to(ys_full, (n, ph, pw, samples, samples))
+    xs_full = jnp.broadcast_to(xs_full, (n, ph, pw, samples, samples))
+    return ys_full, xs_full
+
+
+def roi_align(features: jnp.ndarray, rois: jnp.ndarray, spatial_scale: float,
+              pooled: Tuple[int, int] = (6, 6), samples: int = 2) -> jnp.ndarray:
+    """ROI-align: (H, W, C) x (N, 4) -> (N, ph, pw, C), average of s*s taps."""
+    ys, xs = _tap_grid(rois, spatial_scale, pooled, samples)
+    vals = _bilinear_sample(features, ys, xs)           # (N, ph, pw, s, s, C)
+    return jnp.mean(vals, axis=(3, 4))
+
+
+def roi_pool_max(features: jnp.ndarray, rois: jnp.ndarray, spatial_scale: float,
+                 pooled: Tuple[int, int] = (6, 6), samples: int = 4) -> jnp.ndarray:
+    """Max-pool variant over a fixed tap grid (reference-flavored pooling)."""
+    ys, xs = _tap_grid(rois, spatial_scale, pooled, samples)
+    vals = _bilinear_sample(features, ys, xs)
+    return jnp.max(vals, axis=(3, 4))

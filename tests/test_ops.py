@@ -1,0 +1,271 @@
+"""Tests for anchors, empty-anchor filter, NMS, proposals, ROI align and final
+detection decode — each against an independent numpy implementation."""
+
+import dataclasses
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from mv3d_tpu.config import kitti_config
+from mv3d_tpu.ops import anchors as anchor_ops
+from mv3d_tpu.ops import boxes as box_ops
+from mv3d_tpu.ops import detect, nms, proposal, roi_align
+
+CFG = kitti_config()
+
+
+# ---------------------------------------------------------------------------
+# anchors
+# ---------------------------------------------------------------------------
+
+def test_make_bases_faster_rcnn():
+    b = anchor_ops.make_bases(16, (0.5, 1, 2), (8, 16, 32))
+    assert b.shape == (9, 4)
+    # the classic Faster-RCNN base at ratio 1, scale 8: 120x120 around (7.5,7.5)
+    np.testing.assert_allclose(b[3], [-56.0, -56.0, 71.0, 71.0])
+
+
+def test_anchor_setup_count():
+    anchors, inside = anchor_ops.anchor_setup(CFG)
+    h, w = CFG.top_feature_shape()
+    assert (h, w) == (100, 75)
+    assert anchors.shape == (h * w * 4, 4)
+    assert inside.all()
+    # 120000 is the reference's cfg.ANCHOR_AMOUNT (config.py:56): 600*800/64*4
+    assert len(anchors) == 30000  # per-grid-cell 4 bases at stride 8
+
+
+def test_non_empty_anchor_mask(rng):
+    view = np.zeros((40, 30, 3), np.float32)
+    view[10:20, 5:15, :] = 1.0
+    anchors = np.array([
+        [0, 0, 4, 4],      # empty corner
+        [5, 10, 15, 20],   # covers the occupied block (x=cols 5:15, y=rows 10:20)
+        [14, 19, 16, 21],  # touches the block edge
+        [20, 25, 29, 39],  # empty
+        [-5, -5, 3, 3],    # negative coords, clamped, empty
+    ], np.int32)
+    mask = np.asarray(anchor_ops.non_empty_anchor_mask(
+        jnp.asarray(view), jnp.asarray(anchors), 0.0))
+
+    # independent check with the CUDA-kernel semantics (clamp to dim-1,
+    # exclusive ends)
+    def rect_sum(a):
+        x1, y1, x2, y2 = a
+        x1 = np.clip(x1, 0, 29); x2 = np.clip(x2, 0, 29)
+        y1 = np.clip(y1, 0, 39); y2 = np.clip(y2, 0, 39)
+        return view[y1:max(y2, y1), x1:max(x2, x1), :].sum()
+
+    want = np.array([rect_sum(a) > 0 for a in anchors])
+    np.testing.assert_array_equal(mask, want)
+
+
+def test_non_empty_anchor_mask_random(rng):
+    view = (rng.rand(50, 40, 5) < 0.01).astype(np.float32)
+    anchors = np.stack([
+        rng.randint(-10, 45, 200), rng.randint(-10, 55, 200),
+        rng.randint(-10, 45, 200), rng.randint(-10, 55, 200)], axis=1
+    ).astype(np.int32)
+    got = np.asarray(anchor_ops.non_empty_anchor_mask(
+        jnp.asarray(view), jnp.asarray(anchors), 0.0))
+
+    def rect_sum(a):
+        x1, y1, x2, y2 = np.clip(a, [0, 0, 0, 0], [39, 49, 39, 49])
+        return view[y1:max(y2, y1), x1:max(x2, x1), :].sum()
+
+    want = np.array([rect_sum(a) > 0 for a in anchors])
+    np.testing.assert_array_equal(got, want)
+
+
+# ---------------------------------------------------------------------------
+# NMS
+# ---------------------------------------------------------------------------
+
+def np_greedy_nms(boxes, scores, thresh):
+    """Classic greedy NMS (cpu_nms.pyx semantics)."""
+    order = np.argsort(-scores)
+    keep = []
+    sup = np.zeros(len(boxes), bool)
+    for i in order:
+        if sup[i]:
+            continue
+        keep.append(i)
+        for j in order:
+            if sup[j] or j == i:
+                continue
+            iw = min(boxes[i, 2], boxes[j, 2]) - max(boxes[i, 0], boxes[j, 0]) + 1
+            ih = min(boxes[i, 3], boxes[j, 3]) - max(boxes[i, 1], boxes[j, 1]) + 1
+            if iw > 0 and ih > 0:
+                ai = (boxes[i, 2] - boxes[i, 0] + 1) * (boxes[i, 3] - boxes[i, 1] + 1)
+                aj = (boxes[j, 2] - boxes[j, 0] + 1) * (boxes[j, 3] - boxes[j, 1] + 1)
+                if iw * ih / (ai + aj - iw * ih) > thresh:
+                    sup[j] = True
+    return keep
+
+
+def test_greedy_nms_matches_numpy(rng):
+    n = 100
+    boxes = np.stack([rng.uniform(0, 200, n), rng.uniform(0, 200, n)], 1)
+    boxes = np.hstack([boxes, boxes + rng.uniform(10, 80, (n, 2))]).astype(np.float32)
+    scores = rng.rand(n).astype(np.float32)
+    want = np_greedy_nms(boxes, scores, 0.5)
+
+    keep_idx, keep_mask = nms.greedy_nms(
+        jnp.asarray(boxes), jnp.asarray(scores),
+        jnp.ones(n, bool), 0.5, n)
+    got = np.asarray(keep_idx)[np.asarray(keep_mask)]
+    np.testing.assert_array_equal(got, want)
+
+
+def test_greedy_nms_respects_validity(rng):
+    boxes = np.array([[0, 0, 10, 10], [1, 1, 11, 11], [50, 50, 60, 60]],
+                     np.float32)
+    scores = np.array([0.9, 0.8, 0.7], np.float32)
+    valid = np.array([False, True, True])
+    keep_idx, keep_mask = nms.greedy_nms(
+        jnp.asarray(boxes), jnp.asarray(scores), jnp.asarray(valid), 0.5, 3)
+    got = np.asarray(keep_idx)[np.asarray(keep_mask)]
+    np.testing.assert_array_equal(got, [1, 2])
+
+
+# ---------------------------------------------------------------------------
+# proposals
+# ---------------------------------------------------------------------------
+
+def test_rpn_proposals_basic(rng):
+    anchors, _ = anchor_ops.anchor_setup(CFG)
+    A = len(anchors)
+    scores = rng.rand(A, 2).astype(np.float32)
+    deltas = (rng.randn(A, 4) * 0.1).astype(np.float32)
+    inside = np.ones(A, bool)
+
+    out = proposal.rpn_proposals(jnp.asarray(scores), jnp.asarray(deltas),
+                                 jnp.asarray(anchors), jnp.asarray(inside), CFG)
+    rois = np.asarray(out.rois)
+    mask = np.asarray(out.mask)
+    sc = np.asarray(out.scores)
+    assert rois.shape == (CFG.rpn.nms_post_topn, 5)
+    assert mask.any()
+    live = rois[mask]
+    # batch index column zero, boxes clipped to view bounds
+    assert np.all(live[:, 0] == 0)
+    assert live[:, 1:].min() >= 0
+    assert live[:, 1].max() <= 599 and live[:, 2].max() <= 799
+    # scores descending among live slots
+    s = sc[mask]
+    assert np.all(np.diff(s) <= 1e-6)
+
+
+def test_rpn_proposals_all_filtered():
+    anchors, _ = anchor_ops.anchor_setup(CFG)
+    A = len(anchors)
+    scores = np.full((A, 2), 0.5, np.float32)
+    deltas = np.zeros((A, 4), np.float32)
+    inside = np.zeros(A, bool)   # empty-anchor filter removed everything
+    out = proposal.rpn_proposals(jnp.asarray(scores), jnp.asarray(deltas),
+                                 jnp.asarray(anchors), jnp.asarray(inside), CFG)
+    assert not np.asarray(out.mask).any()
+
+
+# ---------------------------------------------------------------------------
+# ROI align
+# ---------------------------------------------------------------------------
+
+def test_roi_align_constant(rng):
+    feat = np.full((50, 60, 8), 3.5, np.float32)
+    rois = np.array([[4, 6, 30, 40], [0, 0, 59, 49]], np.float32)
+    out = np.asarray(roi_align.roi_align(jnp.asarray(feat), jnp.asarray(rois),
+                                         spatial_scale=1.0, pooled=(6, 6)))
+    assert out.shape == (2, 6, 6, 8)
+    np.testing.assert_allclose(out, 3.5, rtol=1e-6)
+
+
+def test_roi_align_ramp():
+    # feature = x coordinate: bin centers should recover the ramp linearly
+    h, w = 40, 80
+    feat = np.tile(np.arange(w, dtype=np.float32)[None, :, None], (h, 1, 1))
+    rois = np.array([[10, 10, 50, 30]], np.float32)
+    out = np.asarray(roi_align.roi_align(jnp.asarray(feat), jnp.asarray(rois),
+                                         spatial_scale=1.0, pooled=(4, 4)))[0, :, :, 0]
+    # column centers: x1 + (j + 0.5) * bin_w with bin_w = 40/4 = 10
+    want = 10 + (np.arange(4) + 0.5) * 10
+    np.testing.assert_allclose(out[0], want, atol=1e-4)
+    # rows identical (no y variation)
+    np.testing.assert_allclose(out, np.tile(out[0], (4, 1)), atol=1e-5)
+
+
+def test_roi_align_spatial_scale():
+    # same roi at half-resolution features with scale 0.5 reads the same region
+    feat = np.tile(np.arange(40, dtype=np.float32)[None, :, None], (20, 1, 1))
+    rois = np.array([[20, 8, 60, 24]], np.float32)   # view coords
+    out = np.asarray(roi_align.roi_align(jnp.asarray(feat), jnp.asarray(rois),
+                                         spatial_scale=0.5, pooled=(2, 2)))[0, :, :, 0]
+    want_cols = 10 + (np.arange(2) + 0.5) * 10   # feature-cell coords
+    np.testing.assert_allclose(out[0], want_cols, atol=1e-4)
+
+
+def test_roi_pool_max_vs_align():
+    rng = np.random.RandomState(3)
+    feat = rng.rand(30, 30, 4).astype(np.float32)
+    rois = np.array([[2, 2, 20, 20]], np.float32)
+    mx = np.asarray(roi_align.roi_pool_max(jnp.asarray(feat), jnp.asarray(rois), 1.0))
+    av = np.asarray(roi_align.roi_align(jnp.asarray(feat), jnp.asarray(rois), 1.0))
+    assert np.all(mx >= av - 1e-6)
+
+
+def test_roi_align_differentiable():
+    feat = jnp.ones((20, 20, 2))
+    rois = jnp.array([[2.0, 2.0, 15.0, 15.0]])
+
+    def f(x):
+        return jnp.sum(roi_align.roi_align(x, rois, 1.0))
+
+    g = jax.grad(f)(feat)
+    assert np.isfinite(np.asarray(g)).all()
+    assert np.asarray(g).sum() > 0
+
+
+# ---------------------------------------------------------------------------
+# final detection decode
+# ---------------------------------------------------------------------------
+
+def test_rcnn_nms(rng):
+    from mv3d_tpu.ops import boxes3d as b3
+    R = 16
+    # rois3d: a line of separated boxes; half above score threshold
+    rois3d = np.stack([
+        np.asarray(b3.box3d_compose(
+            np.array([10.0 + 8 * i, 0.0, -1.0]), np.array([1.5, 1.6, 4.0]),
+            np.array([0.0, 0.0, 0.0]), CFG)) for i in range(R)])
+    probs = np.zeros((R, 2), np.float32)
+    probs[:, 1] = np.linspace(0.99, 0.2, R)
+    deltas = np.zeros((R, 2, 8, 3), np.float32)
+    mask = np.ones(R, bool)
+
+    det = detect.rcnn_nms(jnp.asarray(probs), jnp.asarray(deltas),
+                          jnp.asarray(rois3d), jnp.asarray(mask),
+                          score_threshold=0.75, cfg=CFG)
+    m = np.asarray(det.mask)
+    assert m.sum() == (probs[:, 1] > 0.75).sum()
+    # decoded boxes with zero deltas = regularised rois
+    got = np.asarray(det.boxes3d)[m]
+    want = np.asarray(b3.regularise_box3d(jnp.asarray(rois3d)))[:m.sum()]
+    np.testing.assert_allclose(got, want, atol=1e-4)
+
+
+def test_rcnn_nms_suppression():
+    from mv3d_tpu.ops import boxes3d as b3
+    # two nearly identical boxes: lower-scoring one must be suppressed even at
+    # the tiny 0.001 threshold (rcnn_nms_op.py:62)
+    base = np.asarray(b3.box3d_compose(
+        np.array([20.0, 0.0, -1.0]), np.array([1.5, 1.6, 4.0]),
+        np.array([0.0, 0.0, 0.0]), CFG))
+    rois3d = np.stack([base, base + 0.01])
+    probs = np.array([[0.1, 0.9], [0.2, 0.8]], np.float32)
+    deltas = np.zeros((2, 2, 8, 3), np.float32)
+    det = detect.rcnn_nms(jnp.asarray(probs), jnp.asarray(deltas),
+                          jnp.asarray(rois3d), jnp.ones(2, bool), cfg=CFG)
+    m = np.asarray(det.mask)
+    assert m.sum() == 1
+    assert np.asarray(det.probs)[m][0] == np.float32(0.9)
