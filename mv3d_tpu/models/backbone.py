@@ -1,0 +1,152 @@
+"""Backbone building blocks (flax.linen), bf16-compute / f32-params.
+
+TPU-native replacement for the reference's NN primitives and Keras ResNet:
+  * ``conv2d_bn_relu`` / ``linear_bn_relu``  (reference src/net/blocks.py:296-313)
+  * bilinear-initialized ``upsample2d`` deconv (blocks.py:254-293)
+  * ``ResnetBuilder.resnet_tiny``: conv7x7/2 + maxpool/2 + pre-activation
+    bottleneck stages [3, 4] -> stride 8, 512 channels
+    (reference src/net/resnet.py:237-259)
+
+Convs run in ``compute_dtype`` (bfloat16 by default) so they tile onto the MXU;
+parameters and batch-norm statistics stay float32.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Callable, Sequence, Tuple
+
+import flax.linen as nn
+import jax.numpy as jnp
+import numpy as np
+
+Dtype = Any
+
+
+def bilinear_kernel_init(factor: int):
+    """Bilinear-interpolation ConvTranspose kernel, per-channel (depthwise
+    pattern over a dense kernel). Parity with the reference's bilinear deconv
+    initialization (blocks.py:254-276)."""
+    size = 2 * factor - factor % 2
+    center = (size - 1) / 2.0 if size % 2 == 1 else factor - 0.5
+    og = np.ogrid[:size, :size]
+    filt = ((1 - abs(og[0] - center) / factor) *
+            (1 - abs(og[1] - center) / factor))
+
+    def init(key, shape, dtype=jnp.float32):
+        # flax ConvTranspose kernel: (kh, kw, in_c, out_c)
+        kh, kw, in_c, out_c = shape
+        k = np.zeros(shape, np.float32)
+        for c in range(min(in_c, out_c)):
+            k[:, :, c, c] = filt[:kh, :kw]
+        return jnp.asarray(k, dtype)
+
+    return init
+
+
+class ConvBnRelu(nn.Module):
+    features: int
+    kernel: Tuple[int, int] = (3, 3)
+    strides: Tuple[int, int] = (1, 1)
+    dtype: Dtype = jnp.bfloat16
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        x = nn.Conv(self.features, self.kernel, self.strides, padding="SAME",
+                    use_bias=False, dtype=self.dtype)(x)
+        x = nn.BatchNorm(use_running_average=not train, momentum=0.9,
+                         dtype=jnp.float32)(x.astype(jnp.float32))
+        return nn.relu(x).astype(self.dtype)
+
+
+class DenseBnRelu(nn.Module):
+    features: int
+    dtype: Dtype = jnp.bfloat16
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        x = nn.Dense(self.features, use_bias=False, dtype=self.dtype)(x)
+        x = nn.BatchNorm(use_running_average=not train, momentum=0.9,
+                         dtype=jnp.float32)(x.astype(jnp.float32))
+        return nn.relu(x).astype(self.dtype)
+
+
+class Upsample2D(nn.Module):
+    """Trainable deconv upsampling with bilinear initialization
+    (parity: reference ``upsample2d``, blocks.py:254-293)."""
+    features: int
+    factor: int
+    dtype: Dtype = jnp.bfloat16
+
+    @nn.compact
+    def __call__(self, x):
+        f = self.factor
+        size = 2 * f - f % 2
+        return nn.ConvTranspose(
+            self.features, (size, size), strides=(f, f), padding="SAME",
+            kernel_init=bilinear_kernel_init(f), use_bias=True,
+            dtype=self.dtype)(x)
+
+
+class Bottleneck(nn.Module):
+    """Pre-activation bottleneck block (He et al. 1603.05027), the block family
+    of reference ``resnet.py:135-159``."""
+    filters: int
+    strides: Tuple[int, int] = (1, 1)
+    plain_entry: bool = False   # first block right after the stem's bn-relu
+    dtype: Dtype = jnp.bfloat16
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        def bn_relu(h):
+            h = nn.BatchNorm(use_running_average=not train, momentum=0.9,
+                             dtype=jnp.float32)(h.astype(jnp.float32))
+            return nn.relu(h).astype(self.dtype)
+
+        out_c = self.filters * 4
+        if self.plain_entry:
+            h = nn.Conv(self.filters, (1, 1), self.strides, padding="SAME",
+                        use_bias=False, dtype=self.dtype)(x)
+        else:
+            h = bn_relu(x)
+            h = nn.Conv(self.filters, (1, 1), self.strides, padding="SAME",
+                        use_bias=False, dtype=self.dtype)(h)
+        h = bn_relu(h)
+        h = nn.Conv(self.filters, (3, 3), padding="SAME", use_bias=False,
+                    dtype=self.dtype)(h)
+        h = bn_relu(h)
+        h = nn.Conv(out_c, (1, 1), padding="SAME", use_bias=False,
+                    dtype=self.dtype)(h)
+
+        shortcut = x
+        if x.shape[-1] != out_c or self.strides != (1, 1):
+            shortcut = nn.Conv(out_c, (1, 1), self.strides, padding="SAME",
+                               use_bias=False, dtype=self.dtype)(x)
+        return h + shortcut
+
+
+class ResnetTiny(nn.Module):
+    """Stride-8 tiny bottleneck ResNet: stem/2, pool/2, stages [3, 4] (/2).
+
+    Parity: reference ``ResnetBuilder.resnet_tiny`` (resnet.py:237-259) —
+    output is 512 channels at stride 8.
+    """
+    repetitions: Sequence[int] = (3, 4)
+    base_filters: int = 64
+    dtype: Dtype = jnp.bfloat16
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        x = x.astype(self.dtype)
+        x = ConvBnRelu(self.base_filters, (7, 7), (2, 2),
+                       dtype=self.dtype)(x, train)
+        x = nn.max_pool(x, (3, 3), strides=(2, 2), padding="SAME")
+
+        filters = self.base_filters
+        for i, reps in enumerate(self.repetitions):
+            for j in range(reps):
+                strides = (2, 2) if (j == 0 and i != 0) else (1, 1)
+                x = Bottleneck(filters, strides,
+                               plain_entry=(i == 0 and j == 0),
+                               dtype=self.dtype)(x, train)
+            filters *= 2
+        return x

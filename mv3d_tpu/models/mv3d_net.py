@@ -1,0 +1,330 @@
+"""MV3DNet — the assembled multi-view detector and its jit-able pipelines.
+
+The reference builds one giant TF-1 placeholder graph (``mv3d_net.load``,
+reference src/mv3d_net.py:761-1066) and then stitches training steps together
+on the *host*: a PyCUDA anchor filter, numpy target ops and a py_func NMS
+between two ``sess.run`` calls (SURVEY.md §3.2 — ≥3 device crossings/step).
+
+Here the entire step is one XLA program:
+
+    views -> trunks -> RPN -> (in-graph) anchor filter -> proposals/NMS
+          -> (in-graph) target sampling -> ROI align -> fusion head
+          -> losses | detections
+
+Per-frame stages are ``vmap``-ed over the batch; the model is batched natively.
+Parameters live in a dict keyed by subnet name (``top_view_rpn`` /
+``image_feature`` / ``front_feature`` / ``fusion``) to support the reference's
+staged-training and mix-and-match per-subnet checkpointing (mv3d.py:117-161).
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Any, Dict, NamedTuple, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..config import Config, cfg as _default_cfg
+from ..ops import boxes3d as box3d_ops
+from ..ops.anchors import anchor_setup, non_empty_anchor_mask
+from ..ops.detect import Detections, rcnn_nms
+from ..ops.proposal import Proposals, rpn_proposals
+from ..ops.roi_align import roi_align
+from ..train import losses as loss_lib
+from ..train import targets as target_lib
+from .nets import (FRONT_FEATURE, FUSION, IMAGE_FEATURE, SUBNET_NAMES,
+                   TOP_VIEW_RPN, FrontFeatureNet, FusionHead, RgbFeatureNet,
+                   TopRPN)
+
+
+# ---------------------------------------------------------------------------
+# roi projections (in-graph equivalents of mv3d.py:60-114)
+# ---------------------------------------------------------------------------
+
+def project_to_rgb_roi(rois3d: jnp.ndarray, cfg: Config) -> jnp.ndarray:
+    """(R, 8, 3) -> (R, 4) enveloping image-space boxes.
+
+    Parity: reference ``project_to_rgb_roi`` (mv3d.py:77-89)."""
+    proj = box3d_ops.box3d_to_rgb_box(rois3d, cfg).astype(jnp.float32)
+    return jnp.stack([
+        jnp.min(proj[..., 0], axis=-1), jnp.min(proj[..., 1], axis=-1),
+        jnp.max(proj[..., 0], axis=-1), jnp.max(proj[..., 1], axis=-1)],
+        axis=-1)
+
+
+def project_to_front_roi(rois3d: jnp.ndarray, cfg: Config) -> jnp.ndarray:
+    """(R, 8, 3) -> (R, 4) front-view boxes as (r1, c1, r2, c2).
+
+    The reference's version (mv3d.py:91-114) uses drawing coordinates with a
+    legacy ``/2`` and feeds (c, r) into the ROI pool, whose "x" is the *other*
+    view axis — a latent bug in the (deprecated) front path. We project with
+    the voxelizer's own pixel mapping so the ROI aligns with the front feature
+    map: x spans the vertical axis (dim 1, size front.height) and y spans the
+    azimuth axis (dim 0, size front.width).
+    """
+    f = cfg.front
+    c = jnp.trunc(jnp.arctan2(rois3d[..., 1], rois3d[..., 0])
+                  / f.angular_res) + f.c_offset
+    r = jnp.trunc(jnp.arctan2(
+        rois3d[..., 2],
+        jnp.sqrt(rois3d[..., 0] ** 2 + rois3d[..., 1] ** 2))
+        / f.vertical_res) + f.r_offset
+    return jnp.stack([
+        jnp.min(r, axis=-1), jnp.min(c, axis=-1),
+        jnp.max(r, axis=-1), jnp.max(c, axis=-1)], axis=-1).astype(jnp.float32)
+
+
+# ---------------------------------------------------------------------------
+# the assembled model
+# ---------------------------------------------------------------------------
+
+class MV3DNet:
+    """Owns the four subnet modules, static anchors, and pipeline functions."""
+
+    def __init__(self, cfg: Config = _default_cfg):
+        self.cfg = cfg
+        dtype = (jnp.bfloat16 if cfg.model.compute_dtype == "bfloat16"
+                 else jnp.float32)
+        self.dtype = dtype
+        self.top_rpn = TopRPN(num_bases=len(cfg.model.bases), dtype=dtype)
+        self.rgb_net = RgbFeatureNet(dtype=dtype)
+        self.front_net = FrontFeatureNet(dtype=dtype)
+        self.fusion = FusionHead(cfg=cfg, dtype=dtype)
+        anchors_np, _ = anchor_setup(cfg)
+        self.anchors = jnp.asarray(anchors_np)
+
+        m = cfg.model
+        self.views = ["top"]
+        if m.use_front and not m.use_top_only:
+            self.views.append("front")
+        if not m.use_top_only:
+            self.views.append("rgb")
+
+    # -- init ---------------------------------------------------------------
+
+    def init_variables(self, key: jax.Array) -> Dict[str, Any]:
+        """Initialize all subnet variables with correctly shaped dummies."""
+        cfg = self.cfg
+        k1, k2, k3, k4 = jax.random.split(key, 4)
+        top = jnp.zeros((1, *cfg.top_shape), jnp.float32)
+        rgb = jnp.zeros((1, *cfg.rgb_shape), jnp.float32)
+        front = jnp.zeros((1, *cfg.front_shape), jnp.float32)
+
+        variables = {TOP_VIEW_RPN: self.top_rpn.init(k1, top)}
+        variables[IMAGE_FEATURE] = self.rgb_net.init(k2, rgb)
+        variables[FRONT_FEATURE] = self.front_net.init(k3, front)
+
+        ph, pw = cfg.model.roi_pool_size
+        roi_feats = {v: jnp.zeros((2, ph, pw, 128), jnp.float32)
+                     for v in self.views}
+        variables[FUSION] = self.fusion.init(k4, roi_feats)
+        return jax.tree.map(lambda x: x, variables)   # plain dict copy
+
+    # -- feature extraction ---------------------------------------------------
+
+    def _apply(self, module, variables, *args, train: bool):
+        if train:
+            out, updates = module.apply(variables, *args, train,
+                                        mutable=["batch_stats"])
+            return out, updates
+        return module.apply(variables, *args, False), None
+
+    def extract_features(self, variables, top, rgb, front, train=False):
+        """Run the three trunks; returns (outputs, batch_stats updates)."""
+        rpn_out, up1 = self._apply(self.top_rpn, variables[TOP_VIEW_RPN],
+                                   top, train=train)
+        out = {"rpn": rpn_out}
+        updates = {TOP_VIEW_RPN: up1}
+        if "rgb" in self.views:
+            out["rgb_features"], updates[IMAGE_FEATURE] = self._apply(
+                self.rgb_net, variables[IMAGE_FEATURE], rgb, train=train)
+        if "front" in self.views:
+            out["front_features"], updates[FRONT_FEATURE] = self._apply(
+                self.front_net, variables[FRONT_FEATURE], front, train=train)
+        return out, updates
+
+    # -- roi pooling ----------------------------------------------------------
+
+    def pool_rois(self, feats: Dict[str, jnp.ndarray], rois3d: jnp.ndarray,
+                  top_rois: jnp.ndarray) -> Dict[str, jnp.ndarray]:
+        """Per-frame multi-view ROI align. All inputs are single-frame.
+
+        Args:
+          feats: view name -> (H, W, C) feature map.
+          rois3d: (R, 8, 3) lifted rois.
+          top_rois: (R, 4) top-view boxes (x1, y1, x2, y2).
+        """
+        cfg = self.cfg
+        pooled = cfg.model.roi_pool_size
+        out = {}
+        out["top"] = roi_align(feats["top"], top_rois,
+                               1.0 / cfg.model.rcnn_stride, pooled)
+        if "rgb" in self.views:
+            rgb_rois = project_to_rgb_roi(rois3d, cfg)
+            out["rgb"] = roi_align(feats["rgb"], rgb_rois,
+                                   1.0 / cfg.model.rgb_stride, pooled)
+        if "front" in self.views:
+            front_rois = project_to_front_roi(rois3d, cfg)
+            out["front"] = roi_align(feats["front"], front_rois,
+                                     1.0 / cfg.model.front_stride, pooled)
+        return out
+
+    # -- inference ------------------------------------------------------------
+
+    def forward_inference(self, variables, top, rgb, front,
+                          score_threshold: Optional[float] = None,
+                          nms_thresh: Optional[float] = None
+                          ) -> Tuple[Detections, Proposals]:
+        """Batched views -> final 3D detections. Pure function of variables.
+
+        Equivalent of reference ``MV3D.predict`` (mv3d.py:272-328) minus the
+        host round-trips.
+        """
+        cfg = self.cfg
+        outs, _ = self.extract_features(variables, top, rgb, front, train=False)
+        rpn = outs["rpn"]
+
+        def per_frame(top_i, scores_i, deltas_i, feat_top_i, feat_rgb_i,
+                      feat_front_i):
+            inside = non_empty_anchor_mask(top_i, self.anchors,
+                                           cfg.pipeline.remove_empty_thresh)
+            props = rpn_proposals(scores_i, deltas_i, self.anchors, inside,
+                                  cfg, nms_thresh=nms_thresh)
+            rois3d = box3d_ops.top_box_to_box3d(props.rois[:, 1:5], cfg)
+            feats = {"top": feat_top_i}
+            if feat_rgb_i is not None:
+                feats["rgb"] = feat_rgb_i
+            if feat_front_i is not None:
+                feats["front"] = feat_front_i
+            pooled = self.pool_rois(feats, rois3d, props.rois[:, 1:5])
+            return props, rois3d, pooled
+
+        frgb = outs.get("rgb_features")
+        ffront = outs.get("front_features")
+        in_axes = (0, 0, 0, 0,
+                   0 if frgb is not None else None,
+                   0 if ffront is not None else None)
+        props, rois3d, pooled = jax.vmap(per_frame, in_axes=in_axes)(
+            top, rpn["scores"], rpn["deltas"], rpn["features"], frgb, ffront)
+
+        b, r = props.rois.shape[0], props.rois.shape[1]
+        flat = {k: v.reshape((b * r,) + v.shape[2:]) for k, v in pooled.items()}
+        fuse = self.fusion.apply(variables[FUSION], flat, False)
+        probs = fuse["probs"].reshape(b, r, -1)
+        deltas = fuse["deltas"].reshape(b, r, cfg.model.num_class, 8, 3)
+
+        dets = jax.vmap(partial(rcnn_nms, cfg=cfg,
+                                score_threshold=score_threshold))(
+            probs, deltas, rois3d, props.mask)
+        return dets, props
+
+    # -- training -------------------------------------------------------------
+
+    def forward_train(self, variables, batch: Dict[str, jnp.ndarray],
+                      key: jax.Array, train: bool = True):
+        """Batched training forward: views + gt -> losses dict (+ BN updates).
+
+        Equivalent of reference ``fit_iteration``'s two sess.runs + host ops
+        (mv3d.py:1118-1407) as one differentiable program.
+
+        batch keys: top (B,H,W,C), rgb, front, gt_boxes3d (B,G,8,3),
+                    gt_labels (B,G) int32, gt_mask (B,G) bool.
+        """
+        cfg = self.cfg
+        top, rgb, front = batch["top"], batch["rgb"], batch["front"]
+        gt3d, gt_labels = batch["gt_boxes3d"], batch["gt_labels"]
+        gt_mask = batch["gt_mask"]
+        b = top.shape[0]
+
+        outs, updates = self.extract_features(variables, top, rgb, front,
+                                              train=train)
+        rpn = outs["rpn"]
+        gt_top = jax.vmap(partial(box3d_ops.box3d_to_top_box, cfg=cfg))(gt3d)
+
+        keys = jax.random.split(key, b)
+
+        def per_frame(top_i, scores_i, deltas_i, gt_top_i, gt3d_i, gl_i, gm_i,
+                      key_i):
+            k1, k2 = jax.random.split(key_i)
+            inside = non_empty_anchor_mask(top_i, self.anchors,
+                                           cfg.pipeline.remove_empty_thresh)
+            rpn_tg = target_lib.rpn_target(self.anchors, inside, gt_top_i,
+                                           gl_i, gm_i, k1, cfg)
+            props = rpn_proposals(scores_i, deltas_i, self.anchors, inside, cfg)
+            fus_tg = target_lib.fusion_target(props.rois, props.mask, gt_top_i,
+                                              gt3d_i, gl_i, gm_i, k2, cfg)
+            return rpn_tg, fus_tg
+
+        rpn_tg, fus_tg = jax.vmap(per_frame)(
+            top, rpn["scores"], rpn["deltas"], gt_top, gt3d, gt_labels,
+            gt_mask, keys)
+
+        # roi pooling over the sampled rcnn rois
+        def pool_frame(feat_top_i, feat_rgb_i, feat_front_i, rois_i, rois3d_i):
+            feats = {"top": feat_top_i}
+            if feat_rgb_i is not None:
+                feats["rgb"] = feat_rgb_i
+            if feat_front_i is not None:
+                feats["front"] = feat_front_i
+            return self.pool_rois(feats, rois3d_i, rois_i[:, 1:5])
+
+        frgb = outs.get("rgb_features")
+        ffront = outs.get("front_features")
+        pooled = jax.vmap(pool_frame, in_axes=(
+            0, 0 if frgb is not None else None,
+            0 if ffront is not None else None, 0, 0))(
+            rpn["features"], frgb, ffront, fus_tg.rois, fus_tg.rois3d)
+
+        r = fus_tg.rois.shape[1]
+        flat = {k: v.reshape((b * r,) + v.shape[2:]) for k, v in pooled.items()}
+        if train:
+            fuse, fusion_updates = self.fusion.apply(
+                variables[FUSION], flat, True, mutable=["batch_stats"])
+            updates[FUSION] = fusion_updates
+        else:
+            fuse = self.fusion.apply(variables[FUSION], flat, False)
+            updates[FUSION] = None
+
+        # losses (batch-meaned)
+        def rpn_loss_frame(scores_i, deltas_i, tg):
+            return loss_lib.rpn_loss(scores_i, deltas_i, tg)
+
+        top_cls, top_reg = jax.vmap(rpn_loss_frame)(
+            rpn["scores"], rpn["deltas"], rpn_tg)
+        top_cls, top_reg = jnp.mean(top_cls), jnp.mean(top_reg)
+
+        flat_tg = target_lib.FusionTargets(
+            rois=fus_tg.rois.reshape(b * r, 5),
+            labels=fus_tg.labels.reshape(b * r),
+            targets=fus_tg.targets.reshape(b * r, 8, 3),
+            mask=fus_tg.mask.reshape(b * r),
+            pos_mask=fus_tg.pos_mask.reshape(b * r),
+            rois3d=fus_tg.rois3d.reshape(b * r, 8, 3))
+        fuse_cls, fuse_reg = loss_lib.fuse_loss(
+            fuse["scores"], fuse["deltas"], flat_tg)
+
+        loss_dict = {
+            "top_cls_loss": top_cls, "top_reg_loss": top_reg,
+            "fuse_cls_loss": fuse_cls, "fuse_reg_loss": fuse_reg,
+        }
+        aux = {"rpn_targets": rpn_tg, "fusion_targets": fus_tg,
+               "proposals_scores": rpn["scores"], "updates": updates}
+        return loss_dict, aux
+
+
+def total_loss(loss_dict: Dict[str, jnp.ndarray], train_targets,
+               cfg: Config) -> jnp.ndarray:
+    """Per-stage loss mix (reference Trainer.__init__, mv3d.py:797-829)."""
+    names = set(train_targets)
+    if names == {TOP_VIEW_RPN}:
+        return loss_dict["top_cls_loss"] + loss_dict["top_reg_loss"]
+    if names == set(SUBNET_NAMES):
+        w1, w2, w3, w4, w5 = cfg.train.loss_weights
+        return (w1 * (w2 * loss_dict["top_cls_loss"] +
+                      w3 * loss_dict["top_reg_loss"]) +
+                w4 * loss_dict["fuse_cls_loss"] +
+                w5 * loss_dict["fuse_reg_loss"])
+    # any fusion-side stage: fuse losses only (mv3d.py:802-820)
+    return loss_dict["fuse_cls_loss"] + loss_dict["fuse_reg_loss"]

@@ -58,7 +58,8 @@ def rpn_proposals(scores: jnp.ndarray, deltas: jnp.ndarray,
     masked_probs = jnp.where(keep, probs, -1.0)
 
     # pre-NMS top-k (sort by score, take 1000 — rpn_nms_op.py:116-121)
-    top_scores, top_idx = jax.lax.top_k(masked_probs, r.nms_pre_topn)
+    pre_topn = min(r.nms_pre_topn, masked_probs.shape[0])
+    top_scores, top_idx = jax.lax.top_k(masked_probs, pre_topn)
     top_boxes = proposals[top_idx]
     top_valid = top_scores > -0.5
 
