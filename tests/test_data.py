@@ -1,0 +1,163 @@
+"""Data-layer tests: tracklet XML round-trip, gt expansion, KITTI label
+parsing, synthetic KITTI-object dataset loading, batch padding, prefetch
+loader, and the offline preprocessor dump layout."""
+
+import math
+import os
+
+import numpy as np
+import pytest
+
+from mv3d_tpu.config import kitti_config
+from mv3d_tpu.data import kitti, loader, preprocess, tracklets
+from mv3d_tpu.ops import boxes3d as box3d_ops
+
+CFG = kitti_config()
+
+
+# ---------------------------------------------------------------------------
+# tracklet XML
+# ---------------------------------------------------------------------------
+
+def make_tracklet(first=3, ty=4.0):
+    t = tracklets.Tracklet("Car", h=1.5, w=1.6, l=4.0, first_frame=first)
+    for i in range(4):
+        t.poses.append({"tx": 10.0 + i, "ty": ty, "tz": -0.9,
+                        "rx": 0.0, "ry": 0.0, "rz": 0.3,
+                        "truncation": tracklets.TRUNC_IN_IMAGE})
+    return t
+
+
+def test_tracklet_xml_roundtrip(tmp_path):
+    path = str(tmp_path / "tracklet_labels.xml")
+    tracklets.write_tracklets(path, [make_tracklet()])
+    back = tracklets.parse_tracklets(path)
+    assert len(back) == 1
+    t = back[0]
+    assert t.object_type == "Car" and t.first_frame == 3
+    assert t.n_frames == 4
+    np.testing.assert_allclose(
+        [t.h, t.w, t.l], [1.5, 1.6, 4.0])
+    np.testing.assert_allclose(t.poses[2]["tx"], 12.0)
+
+
+def test_tracklet_saver_gate(tmp_path):
+    s = tracklets.TrackletSaver(str(tmp_path))
+    s.add_tracklet(0, [1.5, 1.6, 4.0], [5.0, 4.0, -1.0], [0, 0, 0.2])
+    s.add_tracklet(1, [1.5, 1.6, 4.0], [5.0, 9.0, -1.0], [0, 0, 0.2])  # gated
+    s.add_tracklet(2, [1.5, 1.6, 4.0], [5.0, -1.0, -1.0], [0, 0, 0.2]) # gated
+    s.write_tracklet()
+    back = tracklets.parse_tracklets(s.path)
+    assert len(back) == 1
+    assert back[0].first_frame == 0
+
+
+def test_read_objects_expansion(tmp_path):
+    path = str(tmp_path / "tracklet_labels.xml")
+    # truncation defaults to -1 in the writer; patch by writing gt-style file
+    t = make_tracklet(first=1)
+    tracklets.write_tracklets(path, [t])
+    # writer stamps truncation=-1 -> KITTI filter would drop everything;
+    # verify the filter, then bypass it via didi config
+    objs = tracklets.read_objects(path, range(6), CFG)
+    assert all(len(o) == 0 for o in objs)
+
+    import dataclasses
+    didi = dataclasses.replace(CFG, dataset_type="didi2")
+    objs = tracklets.read_objects(path, range(6), didi)
+    assert [len(o) for o in objs] == [0, 1, 1, 1, 1, 0]
+    box = objs[1][0].box
+    assert box.shape == (8, 3)
+    # centroid ~ translation (didi box is centered in z)
+    np.testing.assert_allclose(box.mean(0), [10.0, 4.0, -0.9], atol=1e-4)
+
+
+def test_kitti_label_parse():
+    # KITTI label line: type trunc occl alpha bbox(4) h w l x y z ry
+    line = ("Car 0.0 0 -1.57 0 0 50 50 1.5 1.6 4.0 2.0 1.5 20.0 -1.5")
+    boxes, labels = kitti.kitti_label_to_lidar_box3d([line], "Car",
+                                                     positive_only=False,
+                                                     cfg=CFG)
+    assert boxes.shape == (1, 8, 3) and labels[0] == 1
+    # camera z=20 (forward) -> lidar x ~ 20
+    t, size, rot = (np.asarray(v) for v in
+                    box3d_ops.boxes3d_decompose(boxes, CFG))
+    assert 19 < t[0, 0] < 21.5
+    np.testing.assert_allclose(size[0], [1.5, 1.6, 4.0], atol=1e-3)
+    # rz = -ry - pi/2 = 1.5 - pi/2, modulo pi
+    want = -(-1.5) - math.pi / 2
+    dyaw = abs(((rot[0, 2] - want) + math.pi / 2) % math.pi - math.pi / 2)
+    assert dyaw < 1e-3
+
+
+# ---------------------------------------------------------------------------
+# synthetic KITTI object dataset + loader
+# ---------------------------------------------------------------------------
+
+@pytest.fixture
+def kitti_dir(tmp_path):
+    root = tmp_path / "kitti"
+    for sub in ("velodyne", "label_2", "image_2"):
+        os.makedirs(root / "training" / sub)
+    rng = np.random.RandomState(0)
+    from PIL import Image
+    for i in range(3):
+        tag = f"{i:06d}"
+        pts = np.stack([rng.uniform(0, 70, 5000), rng.uniform(-20, 20, 5000),
+                        rng.uniform(-2, 1, 5000), rng.uniform(0, 1, 5000)],
+                       1).astype(np.float32)
+        pts.tofile(root / "training" / "velodyne" / f"{tag}.bin")
+        with open(root / "training" / "label_2" / f"{tag}.txt", "w") as f:
+            f.write("Car 0 0 0 0 0 50 50 1.5 1.6 4.0 2.0 1.5 20.0 -1.57\n")
+            f.write("DontCare -1 -1 -10 0 0 10 10 -1 -1 -1 -1000 -1000 -1000 -10\n")
+        Image.fromarray(np.zeros((375, 1242, 3), np.uint8)).save(
+            root / "training" / "image_2" / f"{tag}.png")
+    return str(root)
+
+
+def test_kitti_object_dataset(kitti_dir):
+    ds = kitti.KittiObjectDataset(kitti_dir, cfg=CFG)
+    assert len(ds) == 3
+    f = ds.load_frame(0)
+    assert f.points.shape[1] == 4
+    assert f.rgb.shape == (375, 1242, 3)
+    assert f.gt_boxes3d.shape == (1, 8, 3)
+    assert f.gt_labels.tolist() == [1]
+
+
+def test_frames_to_batch(kitti_dir):
+    ds = kitti.KittiObjectDataset(kitti_dir, cfg=CFG)
+    batch = loader.frames_to_batch([ds.load_frame(0), ds.load_frame(1)], CFG)
+    assert batch["points"].shape == (2, CFG.pipeline.max_points, 4)
+    assert batch["num_points"].tolist() == [5000, 5000]
+    assert batch["gt_mask"][:, 0].all() and not batch["gt_mask"][:, 1].any()
+    assert batch["rgb"].shape == (2, 375, 1242, 3)
+
+
+def test_batch_loader_prefetch(kitti_dir):
+    ds = kitti.KittiObjectDataset(kitti_dir, cfg=CFG)
+    with loader.BatchLoader(ds, CFG, batch_size=2, shuffle=True) as bl:
+        for _ in range(3):
+            batch = bl.load()
+            assert batch["points"].shape[0] == 2
+            assert len(batch["tags"]) == 2
+
+
+def test_preprocessor_dump(kitti_dir, tmp_path):
+    ds = kitti.KittiObjectDataset(kitti_dir, cfg=CFG)
+    out = str(tmp_path / "dump")
+    pp = preprocess.Preprocessor(out, CFG, batch_size=2, device=False,
+                                 save_images=True)
+    n = pp.run(ds, indices=[0, 1])
+    assert n == 2
+    tag = ds.tags[0]
+    with np.load(os.path.join(out, "top", tag + ".npy.npz")) as z:
+        top = z["top_view"]
+    assert top.shape == CFG.top_shape
+    assert os.path.exists(os.path.join(out, "gt_boxes3d", tag + ".npy"))
+    assert os.path.exists(os.path.join(out, "top_image", tag + ".png"))
+    # parity: dumped top equals direct oracle voxelization
+    from mv3d_tpu.ops import voxelize_ref
+    f = ds.load_frame(0)
+    want = voxelize_ref.lidar_to_top_np(f.points, CFG)
+    np.testing.assert_allclose(top, want, atol=1e-6)
