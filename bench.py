@@ -1,0 +1,118 @@
+"""Benchmark: end-to-end lidar -> 3D boxes throughput on one TPU chip.
+
+Prints ONE JSON line:
+    {"metric": "e2e_fps", "value": <frames/sec>, "unit": "frames/sec",
+     "vs_baseline": <value / 100.0>}
+
+The denominator is the BASELINE.md target envelope (>=100 fps lidar->boxes on
+one v5e for the full fusion pipeline); the reference itself publishes no
+numbers (BASELINE.md) and its TF-1/CUDA stack cannot run here. vs_baseline > 1
+means the target is beaten. Supplementary measurements (voxelizer throughput,
+CPU-oracle speedup) go to stderr.
+
+Measurement notes: the axon remote relay caches executions with identical
+inputs and adds per-dispatch latency, so we (a) cycle through distinct input
+batches and (b) enqueue the whole run before blocking once.
+"""
+
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+BATCH = int(os.environ.get("BENCH_BATCH", "8"))
+N_WARM = 2
+N_MEAS = 12
+N_DISTINCT = 6
+
+
+def log(*a):
+    print(*a, file=sys.stderr, flush=True)
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+
+    from mv3d_tpu.config import kitti_config
+    from mv3d_tpu.models.mv3d_net import MV3DNet
+    from mv3d_tpu.ops import voxelize, voxelize_ref
+
+    cfg = kitti_config()
+    model = MV3DNet(cfg)
+    log(f"devices: {jax.devices()}  batch={BATCH}")
+
+    t0 = time.time()
+    variables = jax.jit(model.init_variables)(jax.random.PRNGKey(0))
+    jax.block_until_ready(variables)
+    log(f"init: {time.time()-t0:.1f}s")
+
+    n_pts = cfg.pipeline.max_points
+    rng = np.random.RandomState(0)
+
+    def cloud(b):
+        return np.stack([
+            rng.uniform(0, 80, (b, n_pts)), rng.uniform(-30, 30, (b, n_pts)),
+            rng.uniform(-4.2, 0.8, (b, n_pts)), rng.uniform(0, 1, (b, n_pts)),
+        ], axis=-1).astype(np.float32)
+
+    batches = [jax.device_put(jnp.asarray(cloud(BATCH)))
+               for _ in range(N_DISTINCT)]
+    rgbs = [jax.device_put(jnp.asarray(
+        rng.rand(BATCH, *cfg.rgb_shape).astype(np.float32)))
+        for _ in range(N_DISTINCT)]
+
+    def full(variables, points, rgb):
+        top = voxelize.lidar_to_top_batch(points, cfg)
+        front = voxelize.lidar_to_front_batch(points, cfg)
+        dets, _ = model.forward_inference(variables, top, rgb, front,
+                                          score_threshold=0.05)
+        return dets.boxes3d, dets.probs, dets.mask
+
+    f = jax.jit(full)
+    t0 = time.time()
+    out = f(variables, batches[0], rgbs[0])
+    jax.block_until_ready(out)
+    log(f"compile: {time.time()-t0:.1f}s")
+
+    # warmup across distinct inputs
+    for i in range(N_WARM * N_DISTINCT):
+        out = f(variables, batches[i % N_DISTINCT], rgbs[i % N_DISTINCT])
+    jax.block_until_ready(out)
+
+    t0 = time.time()
+    outs = []
+    for i in range(N_MEAS):
+        outs.append(f(variables, batches[i % N_DISTINCT],
+                      rgbs[i % N_DISTINCT]))
+    jax.block_until_ready(outs)
+    dt = (time.time() - t0) / N_MEAS
+    fps = BATCH / dt
+    log(f"e2e: {dt*1000:.2f} ms/step ({dt/BATCH*1000:.2f} ms/frame) "
+        f"= {fps:.1f} frames/sec")
+
+    # supplementary: voxelizer TPU throughput + CPU-oracle comparison
+    vox = jax.jit(lambda p: voxelize.lidar_to_top_batch(p, cfg))
+    vox(batches[0]).block_until_ready()
+    t0 = time.time()
+    vs = [vox(batches[i % N_DISTINCT]) for i in range(N_MEAS)]
+    jax.block_until_ready(vs)
+    vox_dt = (time.time() - t0) / N_MEAS / BATCH
+    one = np.asarray(batches[0][0])
+    t0 = time.time()
+    voxelize_ref.lidar_to_top_np(one, cfg)
+    cpu_dt = time.time() - t0
+    log(f"voxelize: TPU {vox_dt*1000:.3f} ms/frame "
+        f"({n_pts/vox_dt/1e6:.0f} Mpts/s), numpy oracle {cpu_dt*1000:.0f} ms "
+        f"-> {cpu_dt/vox_dt:.0f}x (the reference's pure-python loop is "
+        f"orders slower still)")
+
+    print(json.dumps({"metric": "e2e_fps", "value": round(fps, 2),
+                      "unit": "frames/sec",
+                      "vs_baseline": round(fps / 100.0, 3)}))
+
+
+if __name__ == "__main__":
+    main()
