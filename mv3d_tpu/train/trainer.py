@@ -68,6 +68,14 @@ class MV3D:
 
         self._infer = jax.jit(_infer)
 
+        def _infer_points(variables, points, num_points, rgb, score_threshold):
+            top = lidar_to_top_batch(points, self.cfg, num_points)
+            front = lidar_to_front_batch(points, self.cfg, num_points)
+            return self.model.forward_inference(
+                variables, top, rgb, front, score_threshold=score_threshold)
+
+        self._infer_points = jax.jit(_infer_points)
+
     # -- weights --------------------------------------------------------------
 
     def save_weights(self, subnets: Optional[Sequence[str]] = None,
@@ -112,6 +120,28 @@ class MV3D:
                  else jnp.asarray(front_view))
         dets, _ = self._infer(self.variables, top, rgb, front,
                               jnp.float32(score_threshold))
+        mask = np.asarray(dets.mask[0])
+        boxes3d = np.asarray(dets.boxes3d[0])[mask]
+        probs = np.asarray(dets.probs[0])[mask]
+        return boxes3d, [], probs
+
+    def predict_from_points(self, points, num_points, rgb,
+                            score_threshold: Optional[float] = None
+                            ) -> Tuple[np.ndarray, list, np.ndarray]:
+        """Single-frame detection from raw padded lidar points: voxelization
+        and detection run as ONE XLA program (the reference crosses the
+        device boundary ~6x per frame here, SURVEY.md §3.3)."""
+        if score_threshold is None:
+            score_threshold = self.cfg.rcnn.score_threshold
+        points = jnp.asarray(points)
+        if points.ndim == 2:
+            points = points[None]
+        rgb = jnp.asarray(rgb)
+        if rgb.ndim == 3:
+            rgb = rgb[None]
+        num_points = jnp.atleast_1d(jnp.asarray(num_points, jnp.int32))
+        dets, _ = self._infer_points(self.variables, points, num_points, rgb,
+                                     jnp.float32(score_threshold))
         mask = np.asarray(dets.mask[0])
         boxes3d = np.asarray(dets.boxes3d[0])[mask]
         probs = np.asarray(dets.probs[0])[mask]
