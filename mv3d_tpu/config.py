@@ -167,6 +167,24 @@ class ModelConfig:
     box3d_z_min: float = -2.3
     box3d_z_max: float = 1.5
     compute_dtype: str = "bfloat16"    # MXU-friendly conv/matmul dtype
+    # TPU performance options (capability-preserving deviations from the
+    # reference's graph — see models/backbone.py and models/mv3d_net.py):
+    #  * upsample_features=True restores the reference's trainable bilinear
+    #    deconv before ROI pooling (mv3d_net.py:134-136); False (default)
+    #    ROI-aligns the stride-8 maps directly — same information, no 31MB
+    #    intermediate.
+    #  * stem_space_to_depth folds the input's 2x2 (top) / 4x4 (rgb) spatial
+    #    blocks into channels before the first conv so the stem runs with
+    #    MXU-aligned channel counts instead of 27/3-channel 7x7 convs.
+    upsample_features: bool = False
+    stem_space_to_depth: bool = True
+
+    def pool_stride(self, view: str) -> int:
+        """Effective feature stride ROI pooling sees for a view."""
+        if self.upsample_features:
+            return {"top": self.rcnn_stride, "rgb": self.rgb_stride,
+                    "front": self.front_stride}[view]
+        return self.rpn_stride
 
 
 @dataclass(frozen=True)

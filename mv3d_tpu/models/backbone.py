@@ -124,22 +124,59 @@ class Bottleneck(nn.Module):
         return h + shortcut
 
 
+def space_to_depth(x: jnp.ndarray, factor: int) -> jnp.ndarray:
+    """(B, H, W, C) -> (B, H/f, W/f, C*f*f): fold spatial blocks into lanes.
+
+    Classic TPU trick for early conv layers: the stem then runs with
+    MXU-aligned input channel counts (27 -> 108, 3 -> 48) instead of wasting
+    127/128 lanes, at identical information content. Trailing rows/cols are
+    zero-padded to a multiple of the factor.
+    """
+    b, h, w, c = x.shape
+    ph = (-h) % factor
+    pw = (-w) % factor
+    if ph or pw:
+        x = jnp.pad(x, ((0, 0), (0, ph), (0, pw), (0, 0)))
+        h, w = h + ph, w + pw
+    x = x.reshape(b, h // factor, factor, w // factor, factor, c)
+    return x.transpose(0, 1, 3, 2, 4, 5).reshape(
+        b, h // factor, w // factor, factor * factor * c)
+
+
 class ResnetTiny(nn.Module):
     """Stride-8 tiny bottleneck ResNet: stem/2, pool/2, stages [3, 4] (/2).
 
     Parity: reference ``ResnetBuilder.resnet_tiny`` (resnet.py:237-259) —
     output is 512 channels at stride 8.
+
+    ``s2d_factor`` > 0 replaces the 7x7/2 conv stem with space-to-depth + a
+    3x3/1 conv at the same output stride (factor 2: s2d/2+conv+pool/2;
+    factor 4: s2d/4+conv, no pool) — an MXU-utilization optimization with the
+    same stride-8 output contract.
     """
     repetitions: Sequence[int] = (3, 4)
     base_filters: int = 64
+    s2d_factor: int = 0
     dtype: Dtype = jnp.bfloat16
 
     @nn.compact
     def __call__(self, x, train: bool = False):
         x = x.astype(self.dtype)
-        x = ConvBnRelu(self.base_filters, (7, 7), (2, 2),
-                       dtype=self.dtype)(x, train)
-        x = nn.max_pool(x, (3, 3), strides=(2, 2), padding="SAME")
+        if self.s2d_factor == 0:
+            x = ConvBnRelu(self.base_filters, (7, 7), (2, 2),
+                           dtype=self.dtype)(x, train)
+            x = nn.max_pool(x, (3, 3), strides=(2, 2), padding="SAME")
+        elif self.s2d_factor == 2:
+            x = space_to_depth(x, 2)
+            x = ConvBnRelu(self.base_filters, (3, 3), (1, 1),
+                           dtype=self.dtype)(x, train)
+            x = nn.max_pool(x, (3, 3), strides=(2, 2), padding="SAME")
+        elif self.s2d_factor == 4:
+            x = space_to_depth(x, 4)
+            x = ConvBnRelu(self.base_filters, (3, 3), (1, 1),
+                           dtype=self.dtype)(x, train)
+        else:
+            raise ValueError(f"unsupported s2d_factor {self.s2d_factor}")
 
         filters = self.base_filters
         for i, reps in enumerate(self.repetitions):

@@ -88,9 +88,16 @@ class MV3DNet:
         dtype = (jnp.bfloat16 if cfg.model.compute_dtype == "bfloat16"
                  else jnp.float32)
         self.dtype = dtype
-        self.top_rpn = TopRPN(num_bases=len(cfg.model.bases), dtype=dtype)
-        self.rgb_net = RgbFeatureNet(dtype=dtype)
-        self.front_net = FrontFeatureNet(dtype=dtype)
+        m = cfg.model
+        s2d_top = 2 if m.stem_space_to_depth else 0
+        s2d_rgb = 4 if m.stem_space_to_depth else 0
+        self.top_rpn = TopRPN(num_bases=len(m.bases), dtype=dtype,
+                              upsample=m.upsample_features, s2d_factor=s2d_top)
+        self.rgb_net = RgbFeatureNet(dtype=dtype, upsample=m.upsample_features,
+                                     s2d_factor=s2d_rgb)
+        self.front_net = FrontFeatureNet(dtype=dtype,
+                                         upsample=m.upsample_features,
+                                         s2d_factor=s2d_top)
         self.fusion = FusionHead(cfg=cfg, dtype=dtype)
         anchors_np, _ = anchor_setup(cfg)
         self.anchors = jnp.asarray(anchors_np)
@@ -160,15 +167,16 @@ class MV3DNet:
         pooled = cfg.model.roi_pool_size
         out = {}
         out["top"] = roi_align(feats["top"], top_rois,
-                               1.0 / cfg.model.rcnn_stride, pooled)
+                               1.0 / cfg.model.pool_stride("top"), pooled)
         if "rgb" in self.views:
             rgb_rois = project_to_rgb_roi(rois3d, cfg)
             out["rgb"] = roi_align(feats["rgb"], rgb_rois,
-                                   1.0 / cfg.model.rgb_stride, pooled)
+                                   1.0 / cfg.model.pool_stride("rgb"), pooled)
         if "front" in self.views:
             front_rois = project_to_front_roi(rois3d, cfg)
             out["front"] = roi_align(feats["front"], front_rois,
-                                     1.0 / cfg.model.front_stride, pooled)
+                                     1.0 / cfg.model.pool_stride("front"),
+                                     pooled)
         return out
 
     # -- inference ------------------------------------------------------------

@@ -40,13 +40,22 @@ SUBNET_NAMES = (TOP_VIEW_RPN, IMAGE_FEATURE, FRONT_FEATURE, FUSION)
 
 
 class TopRPN(nn.Module):
-    """BEV feature trunk + RPN score/delta heads + stride-2 RCNN feature."""
+    """BEV feature trunk + RPN score/delta heads + RCNN feature.
+
+    With ``upsample`` the RCNN feature is the reference's x4 bilinear-init
+    deconv (stride 2, mv3d_net.py:134-136); otherwise it is the stride-8
+    reduced map itself (ROI-align samples it with 1/8 scale — same
+    information, far cheaper).
+    """
     num_bases: int
+    upsample: bool = False
+    s2d_factor: int = 0
     dtype: Dtype = jnp.bfloat16
 
     @nn.compact
     def __call__(self, top_view: jnp.ndarray, train: bool = False):
-        x = ResnetTiny(dtype=self.dtype, name="trunk")(top_view, train)
+        x = ResnetTiny(s2d_factor=self.s2d_factor, dtype=self.dtype,
+                       name="trunk")(top_view, train)
         x = ConvBnRelu(128, (1, 1), dtype=self.dtype, name="reduce")(x, train)
 
         up = ConvBnRelu(128, (3, 3), dtype=self.dtype, name="rpn_conv")(x, train)
@@ -55,8 +64,11 @@ class TopRPN(nn.Module):
         deltas = nn.Conv(4 * self.num_bases, (1, 1), padding="SAME",
                          dtype=self.dtype, name="rpn_delta")(up)
 
-        feature = Upsample2D(128, factor=4, dtype=self.dtype,
-                             name="rcnn_upsample")(x)
+        if self.upsample:
+            feature = Upsample2D(128, factor=4, dtype=self.dtype,
+                                 name="rcnn_upsample")(x)
+        else:
+            feature = x
         b = top_view.shape[0]
         return {
             "features": feature,                               # (B, H/2, W/2, 128)
@@ -67,25 +79,35 @@ class TopRPN(nn.Module):
 
 
 class RgbFeatureNet(nn.Module):
-    """RGB trunk: resnet_tiny -> 1x1/128 -> x2 upsample => stride 4."""
+    """RGB trunk: resnet_tiny -> 1x1/128 (-> optional x2 upsample)."""
+    upsample: bool = False
+    s2d_factor: int = 0
     dtype: Dtype = jnp.bfloat16
 
     @nn.compact
     def __call__(self, rgb: jnp.ndarray, train: bool = False):
-        x = ResnetTiny(dtype=self.dtype, name="trunk")(rgb, train)
+        x = ResnetTiny(s2d_factor=self.s2d_factor, dtype=self.dtype,
+                       name="trunk")(rgb, train)
         x = ConvBnRelu(128, (1, 1), dtype=self.dtype, name="reduce")(x, train)
-        return Upsample2D(128, factor=2, dtype=self.dtype, name="upsample")(x)
+        if self.upsample:
+            x = Upsample2D(128, factor=2, dtype=self.dtype, name="upsample")(x)
+        return x
 
 
 class FrontFeatureNet(nn.Module):
-    """Front trunk: resnet_tiny -> 1x1/128 -> x4 upsample => stride 2."""
+    """Front trunk: resnet_tiny -> 1x1/128 (-> optional x4 upsample)."""
+    upsample: bool = False
+    s2d_factor: int = 0
     dtype: Dtype = jnp.bfloat16
 
     @nn.compact
     def __call__(self, front: jnp.ndarray, train: bool = False):
-        x = ResnetTiny(dtype=self.dtype, name="trunk")(front, train)
+        x = ResnetTiny(s2d_factor=self.s2d_factor, dtype=self.dtype,
+                       name="trunk")(front, train)
         x = ConvBnRelu(128, (1, 1), dtype=self.dtype, name="reduce")(x, train)
-        return Upsample2D(128, factor=4, dtype=self.dtype, name="upsample")(x)
+        if self.upsample:
+            x = Upsample2D(128, factor=4, dtype=self.dtype, name="upsample")(x)
+        return x
 
 
 class _RoiTower(nn.Module):
