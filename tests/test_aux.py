@@ -1,0 +1,120 @@
+"""Tests for auxiliary subsystems: UKF/tracker, MAC counter, data checks,
+splitter, experiment task retry, viz renderers."""
+
+import os
+
+import numpy as np
+import pytest
+
+from mv3d_tpu.tracking import MultiObjectTracker, UnscentedKalmanFilter
+from mv3d_tpu.utils import datacheck, macs, viz
+from mv3d_tpu.experiments.task import run_task
+from mv3d_tpu.config import kitti_config
+
+CFG = kitti_config()
+
+
+def test_ukf_tracks_constant_velocity():
+    ukf = UnscentedKalmanFilter()
+    rng = np.random.RandomState(0)
+    # object moving at 10 m/s along x
+    for i in range(30):
+        z = np.array([i * 1.0, 5.0]) + rng.normal(0, 0.1, 2)
+        ukf.step(z, dt=0.1)
+    assert abs(ukf.x[0] - 29.0) < 0.5
+    assert abs(ukf.x[1] - 5.0) < 0.3
+    assert abs(ukf.x[2] - 10.0) < 1.5     # velocity estimate
+    assert abs(ukf.x[3]) < 0.2            # heading ~ 0
+
+
+def test_ukf_turning():
+    ukf = UnscentedKalmanFilter()
+    dt, v, yawd = 0.1, 8.0, 0.3
+    yaw, px, py = 0.0, 0.0, 0.0
+    for i in range(50):
+        px += v * dt * np.cos(yaw)
+        py += v * dt * np.sin(yaw)
+        yaw += yawd * dt
+        ukf.step(np.array([px, py]), dt=dt)
+    assert np.linalg.norm(ukf.x[0:2] - [px, py]) < 0.5
+    assert abs(ukf.x[4] - yawd) < 0.15
+
+
+def test_tracker_association():
+    tr = MultiObjectTracker(dt=0.1, min_hits=2)
+    for i in range(6):
+        dets = np.array([[10.0 + i * 0.5, 2.0, -1.0],
+                         [30.0, -5.0 - i * 0.5, -1.0]])
+        sizes = np.tile([1.5, 1.6, 4.0], (2, 1))
+        yaws = np.zeros(2)
+        confirmed = tr.update(dets, sizes, yaws)
+    assert len(confirmed) == 2
+    ids = sorted(t.track_id for t in confirmed)
+    assert ids == [0, 1]
+    # both tracks accumulated full history
+    assert all(t.hits == 6 for t in confirmed)
+
+
+def test_tracker_drops_stale():
+    tr = MultiObjectTracker(dt=0.1, max_missed=2, min_hits=1)
+    tr.update(np.array([[5.0, 0.0, 0.0]]), np.array([[1.5, 1.6, 4.0]]),
+              np.zeros(1))
+    for _ in range(4):
+        tr.update(np.zeros((0, 3)), np.zeros((0, 3)), np.zeros(0))
+    assert len(tr.tracks) == 0
+
+
+def test_count_params():
+    tree = {"a": np.zeros((3, 4)), "b": {"c": np.zeros(7)}}
+    assert macs.count_params(tree) == 19
+
+
+def test_datacheck_and_split(tmp_path):
+    for sub in ("top", "gt_boxes3d", "gt_labels"):
+        os.makedirs(tmp_path / sub)
+    for i in range(4):
+        tag = f"2011_09_26_0005_{i:05d}"
+        (tmp_path / "top" / f"{tag}.npy.npz").touch()
+        (tmp_path / "gt_boxes3d" / f"{tag}.npy").touch()
+        if i != 2:
+            (tmp_path / "gt_labels" / f"{tag}.npy").touch()
+    res = datacheck.check_preprocessed_dir(str(tmp_path))
+    assert not res["ok"]
+    assert len(res["missing"]["gt_labels"]) == 1
+
+    tags = [f"d{di}_{i:05d}" for di in range(10) for i in range(5)]
+    train, val = datacheck.split_train_val(tags, 0.7, by_drive=True)
+    assert len(train) + len(val) == 50
+    train_drives = {t.rsplit("_", 1)[0] for t in train}
+    val_drives = {t.rsplit("_", 1)[0] for t in val}
+    assert not (train_drives & val_drives)
+    assert len(train_drives) == 7
+
+
+def test_run_task_retries():
+    calls = []
+
+    def flaky():
+        calls.append(1)
+        if len(calls) < 2:
+            raise RuntimeError("boom")
+        return "done"
+
+    assert run_task(flaky, retries=3, min_seconds=0.0,
+                    log=lambda *a: None) == "done"
+    assert len(calls) == 2
+
+
+def test_viz_renderers():
+    from mv3d_tpu.ops import boxes3d as b3
+    img = np.zeros((100, 120, 3), np.uint8)
+    out = viz.draw_boxes2d(img, np.array([[10, 10, 50, 60]]))
+    assert out.sum() > 0
+    box = np.asarray(b3.box3d_compose([20.0, 0.0, -1.0], [1.5, 1.6, 4.0],
+                                      [0, 0, 0.3], CFG))[None]
+    top_img = np.zeros((800, 600, 3), np.uint8)
+    out = viz.draw_box3d_on_top(top_img, box, cfg=CFG)
+    assert out.sum() > 0
+    cam = np.zeros((375, 1242, 3), np.uint8)
+    out = viz.draw_rgb_projections(cam, box, cfg=CFG)
+    assert out.sum() > 0
