@@ -57,6 +57,13 @@ def lidar_to_top(points: jnp.ndarray, cfg: Config = _default_cfg,
     units); channel Zn: reflectance of the highest point in the cell; channel
     Zn+1: ``min(1, log(count+1)/log 32)`` density. Output rows/cols are flipped
     exactly like the reference (top[Xn-1-qx, Yn-1-qy], src/data.py:345-352).
+
+    Implementation: all max-type channels ride ONE row-scatter (each point
+    contributes a sparse (Zn+1)-channel row: its slice's height fraction, the
+    inclusive-boundary write into the slice below, and its z for the argmax
+    bookkeeping); counts ride one scatter-add. TPU scatters serialize per
+    *index*, so packing channels into rows costs the same as one scalar
+    scatter — this is the difference between ~6 scatters and ~3.
     """
     t = cfg.top
     xn, yn, zn = t.xn, t.yn, t.zn
@@ -74,32 +81,38 @@ def lidar_to_top(points: jnp.ndarray, cfg: Config = _default_cfg,
     col = yn - 1 - qy
     cell = jnp.where(valid, row * yn + col, n_cells)        # dump cell = n_cells
 
-    # --- density ------------------------------------------------------------
+    # --- packed row scatter: zn height slices + qz ---------------------------
+    s = jnp.minimum(jnp.floor(qz), zn - 1).astype(jnp.int32)
+    frac = qz - s.astype(jnp.float32)
+    exact = (frac == 0.0) & (s >= 1)
+    zq = jnp.where(valid, qz, -1.0)
+
+    slice_ids = jnp.arange(zn, dtype=jnp.int32)[None, :]
+    rows = jnp.where(slice_ids == s[:, None], frac[:, None], 0.0)
+    # a point exactly on a slice boundary also closes out the slice below
+    # with value 1 (the reference's inclusive [z, z+1] interval, data.py:359)
+    rows = jnp.where((slice_ids == (s - 1)[:, None]) & exact[:, None],
+                     1.0, rows)
+    rows = jnp.where(valid[:, None], rows, 0.0)
+    rows = jnp.concatenate([rows, zq[:, None]], axis=1)      # (N, zn+1)
+
+    packed = jnp.full((n_cells + 1, zn + 1), 0.0, jnp.float32)
+    packed = packed.at[:, zn].set(-1.0)
+    packed = packed.at[cell].max(rows)
+    heights = packed[:n_cells, :zn]
+    zmax = packed[:, zn]
+
+    # --- density -------------------------------------------------------------
     counts = jnp.zeros(n_cells + 1, jnp.float32).at[cell].add(1.0)
     density = jnp.minimum(1.0, jnp.log(counts[:n_cells] + 1.0) / math.log(32))
 
-    # --- intensity of the first-max-height point per cell -------------------
-    zq = jnp.where(valid, qz, -1.0)
-    zmax = jnp.full(n_cells + 1, -1.0, jnp.float32).at[cell].max(zq)
+    # --- intensity of the first-max-height point per cell --------------------
     is_best = valid & (zq == zmax[cell])
     idx = jnp.arange(n, dtype=jnp.int32)
     best_idx = (jnp.full(n_cells + 1, n, jnp.int32)
                 .at[cell].min(jnp.where(is_best, idx, n)))
     refl_ext = jnp.concatenate([refl, jnp.zeros((1,), jnp.float32)])
     intensity = refl_ext[jnp.minimum(best_idx[:n_cells], n)]
-
-    # --- per-slice heights --------------------------------------------------
-    s = jnp.minimum(jnp.floor(qz), zn - 1).astype(jnp.int32)
-    frac = qz - s.astype(jnp.float32)
-    flat = jnp.where(valid, cell * zn + s, n_cells * zn)
-    heights = jnp.zeros(n_cells * zn + 1, jnp.float32).at[flat].max(
-        jnp.where(valid, frac, 0.0))
-    # a point exactly on a slice boundary also closes out the slice below
-    # with value 1 (the reference's inclusive [z, z+1] interval, data.py:359)
-    exact = valid & (frac == 0.0) & (s >= 1)
-    flat2 = jnp.where(exact, cell * zn + s - 1, n_cells * zn)
-    heights = heights.at[flat2].max(jnp.where(exact, 1.0, 0.0))
-    heights = heights[:n_cells * zn].reshape(n_cells, zn)
 
     top = jnp.concatenate(
         [heights, intensity[:, None], density[:, None]], axis=1)

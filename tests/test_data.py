@@ -126,10 +126,14 @@ def test_kitti_object_dataset(kitti_dir):
 
 
 def test_frames_to_batch(kitti_dir):
+    from mv3d_tpu.ops import voxelize_ref
     ds = kitti.KittiObjectDataset(kitti_dir, cfg=CFG)
-    batch = loader.frames_to_batch([ds.load_frame(0), ds.load_frame(1)], CFG)
+    f0, f1 = ds.load_frame(0), ds.load_frame(1)
+    batch = loader.frames_to_batch([f0, f1], CFG)
     assert batch["points"].shape == (2, CFG.pipeline.max_points, 4)
-    assert batch["num_points"].tolist() == [5000, 5000]
+    # the loader pre-crops on the host (first voxelizer step, idempotent)
+    want = [int(voxelize_ref.crop_mask(f.points, CFG).sum()) for f in (f0, f1)]
+    assert batch["num_points"].tolist() == want
     assert batch["gt_mask"][:, 0].all() and not batch["gt_mask"][:, 1].any()
     assert batch["rgb"].shape == (2, 375, 1242, 3)
 
@@ -161,3 +165,34 @@ def test_preprocessor_dump(kitti_dir, tmp_path):
     f = ds.load_frame(0)
     want = voxelize_ref.lidar_to_top_np(f.points, CFG)
     np.testing.assert_allclose(top, want, atol=1e-6)
+
+
+def test_precomputed_dataset(kitti_dir, tmp_path):
+    from mv3d_tpu.data.precomputed import PrecomputedViewDataset
+    ds = kitti.KittiObjectDataset(kitti_dir, cfg=CFG)
+    out = str(tmp_path / "dump2")
+    preprocess.Preprocessor(out, CFG, batch_size=2, device=False,
+                            save_images=False).run(ds, indices=[0, 1])
+    pv = PrecomputedViewDataset(out, CFG)
+    assert len(pv) == 2
+    views = pv.load_views(0)
+    assert views["top"].shape == CFG.top_shape
+    assert views["front"].shape == CFG.front_shape
+    batch = pv.load_batch([0, 1])
+    assert batch["top"].shape == (2, *CFG.top_shape)
+    assert batch["gt_mask"][:, 0].all()
+
+
+def test_camera_model_projection_roundtrip():
+    from mv3d_tpu.ops.projection import CameraModel
+    import jax.numpy as jnp
+    cam = CameraModel()
+    pts = np.array([[1.0, 0.5, 10.0], [-2.0, 1.0, 20.0]], np.float32)
+    pix = np.asarray(cam.project(jnp.asarray(pts)))
+    assert pix.shape == (2, 2)
+    # undistort returns the ideal pinhole pixel of the same ray
+    undist = np.asarray(cam.distortion_correct(jnp.asarray(pix)))
+    K = cam.camera_matrix
+    ideal = np.stack([K[0, 0] * pts[:, 0] / pts[:, 2] + K[0, 2],
+                      K[1, 1] * pts[:, 1] / pts[:, 2] + K[1, 2]], axis=1)
+    np.testing.assert_allclose(undist, ideal, atol=0.5)
