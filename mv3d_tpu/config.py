@@ -189,8 +189,16 @@ class ModelConfig:
 
 @dataclass(frozen=True)
 class PipelineConfig:
-    """Static shape budget for the jitted pipeline (everything padded/masked)."""
-    max_points: int = 131072           # padded lidar point budget (2**17)
+    """Static shape budget for the jitted pipeline (everything padded/masked).
+
+    ``max_points`` sizes the padded on-device point buffer. The loader crops
+    to the BEV bounds on the host first (the voxelizer's own first step, so
+    semantics are unchanged), which leaves ~55-65k points for a typical KITTI
+    scan — 65536 covers it with headroom while halving the voxelizer's
+    scatter volume vs a raw-scan-sized buffer. Raise it (e.g. to 131072) for
+    denser sensors.
+    """
+    max_points: int = 65536            # padded, host-cropped point budget
     max_gt: int = 32                   # padded ground-truth boxes per frame
     remove_empty_thresh: float = 0.0   # cfg.REMOVE_THRES
     detect_classes: Tuple[str, ...] = ("Car", "Van")   # cfg.DETECT_OBJ

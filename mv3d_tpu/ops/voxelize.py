@@ -58,12 +58,20 @@ def lidar_to_top(points: jnp.ndarray, cfg: Config = _default_cfg,
     Zn+1: ``min(1, log(count+1)/log 32)`` density. Output rows/cols are flipped
     exactly like the reference (top[Xn-1-qx, Yn-1-qy], src/data.py:345-352).
 
-    Implementation: all max-type channels ride ONE row-scatter (each point
-    contributes a sparse (Zn+1)-channel row: its slice's height fraction, the
-    inclusive-boundary write into the slice below, and its z for the argmax
-    bookkeeping); counts ride one scatter-add. TPU scatters serialize per
-    *index*, so packing channels into rows costs the same as one scalar
-    scatter — this is the difference between ~6 scatters and ~3.
+    TPU scatter cost scales with the number of scattered *elements*, so the
+    implementation minimizes total scatter volume to three scalar scatters:
+
+      1. heights: ONE scatter-max per point — a point exactly on a slice
+         boundary (frac==0, s>=1) is *redirected* to slice s-1 with value 1.0
+         (the reference's inclusive [z, z+1] interval, data.py:359; its
+         nominal slice-s contribution would be 0 == the init value, so the
+         redirect is exact);
+      2. density: one scatter-add of 1.0;
+      3. intensity: one scatter-min of the point index among per-cell
+         max-height points. The per-cell max height itself needs NO scatter:
+         it is reconstructed exactly from the height channels as
+         max_s (s + h[s]) over occupied slices (f32-exact because qz - s and
+         s + frac are exact for s in [0, 25)).
     """
     t = cfg.top
     xn, yn, zn = t.xn, t.yn, t.zn
@@ -81,32 +89,30 @@ def lidar_to_top(points: jnp.ndarray, cfg: Config = _default_cfg,
     col = yn - 1 - qy
     cell = jnp.where(valid, row * yn + col, n_cells)        # dump cell = n_cells
 
-    # --- packed row scatter: zn height slices + qz ---------------------------
+    # --- per-slice heights: one scatter-max with boundary redirect ----------
     s = jnp.minimum(jnp.floor(qz), zn - 1).astype(jnp.int32)
     frac = qz - s.astype(jnp.float32)
     exact = (frac == 0.0) & (s >= 1)
-    zq = jnp.where(valid, qz, -1.0)
+    s_eff = jnp.where(exact, s - 1, s)
+    val = jnp.where(exact, 1.0, frac)
+    flat = jnp.where(valid, cell * zn + s_eff, n_cells * zn)
+    heights = jnp.zeros(n_cells * zn + 1, jnp.float32).at[flat].max(
+        jnp.where(valid, val, 0.0))
+    heights = heights[:n_cells * zn].reshape(n_cells, zn)
 
-    slice_ids = jnp.arange(zn, dtype=jnp.int32)[None, :]
-    rows = jnp.where(slice_ids == s[:, None], frac[:, None], 0.0)
-    # a point exactly on a slice boundary also closes out the slice below
-    # with value 1 (the reference's inclusive [z, z+1] interval, data.py:359)
-    rows = jnp.where((slice_ids == (s - 1)[:, None]) & exact[:, None],
-                     1.0, rows)
-    rows = jnp.where(valid[:, None], rows, 0.0)
-    rows = jnp.concatenate([rows, zq[:, None]], axis=1)      # (N, zn+1)
-
-    packed = jnp.full((n_cells + 1, zn + 1), 0.0, jnp.float32)
-    packed = packed.at[:, zn].set(-1.0)
-    packed = packed.at[cell].max(rows)
-    heights = packed[:n_cells, :zn]
-    zmax = packed[:, zn]
+    # per-cell max height reconstructed from the slices (no scatter):
+    # occupied slices have h > 0 (qz > 0 strictly inside the crop)
+    slice_base = jnp.arange(zn, dtype=jnp.float32)[None, :]
+    zmax_cells = jnp.max(
+        jnp.where(heights > 0.0, slice_base + heights, -1.0), axis=1)
+    zmax = jnp.concatenate([zmax_cells, jnp.full((1,), -1.0, jnp.float32)])
 
     # --- density -------------------------------------------------------------
     counts = jnp.zeros(n_cells + 1, jnp.float32).at[cell].add(1.0)
     density = jnp.minimum(1.0, jnp.log(counts[:n_cells] + 1.0) / math.log(32))
 
     # --- intensity of the first-max-height point per cell --------------------
+    zq = jnp.where(valid, qz, -1.0)
     is_best = valid & (zq == zmax[cell])
     idx = jnp.arange(n, dtype=jnp.int32)
     best_idx = (jnp.full(n_cells + 1, n, jnp.int32)
