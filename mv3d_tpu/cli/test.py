@@ -56,11 +56,10 @@ def main(argv=None):
         @jax.jit
         def rpn_only(variables, points, num_points):
             top = lidar_to_top_batch(points, cfg, num_points)
-            out, _ = model.top_rpn.apply(
-                variables["top_view_rpn"], top, False), None
+            out = model.top_rpn.apply(variables["top_view_rpn"], top, False)
             inside = non_empty_anchor_mask(top[0], model.anchors,
                                            cfg.pipeline.remove_empty_thresh)
-            props = rpn_proposals(out[0]["scores"][0], out[0]["deltas"][0],
+            props = rpn_proposals(out["scores"][0], out["deltas"][0],
                                   model.anchors, inside, cfg)
             return props
 

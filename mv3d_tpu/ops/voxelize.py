@@ -112,13 +112,16 @@ def lidar_to_top(points: jnp.ndarray, cfg: Config = _default_cfg,
     density = jnp.minimum(1.0, jnp.log(counts[:n_cells] + 1.0) / math.log(32))
 
     # --- intensity of the first-max-height point per cell --------------------
+    # scatter-min the winning point's index, then scatter its reflectance back
+    # (all per-point-sized ops; a dense 480k-cell gather would cost ~4x more)
     zq = jnp.where(valid, qz, -1.0)
     is_best = valid & (zq == zmax[cell])
     idx = jnp.arange(n, dtype=jnp.int32)
     best_idx = (jnp.full(n_cells + 1, n, jnp.int32)
                 .at[cell].min(jnp.where(is_best, idx, n)))
-    refl_ext = jnp.concatenate([refl, jnp.zeros((1,), jnp.float32)])
-    intensity = refl_ext[jnp.minimum(best_idx[:n_cells], n)]
+    chosen = valid & (idx == best_idx[cell])
+    intensity = (jnp.zeros(n_cells + 1, jnp.float32)
+                 .at[cell].max(jnp.where(chosen, refl, 0.0)))[:n_cells]
 
     top = jnp.concatenate(
         [heights, intensity[:, None], density[:, None]], axis=1)
