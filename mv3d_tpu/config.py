@@ -199,6 +199,10 @@ class PipelineConfig:
     denser sensors.
     """
     max_points: int = 65536            # padded, host-cropped point budget
+    # compute the BEV intensity/density channels on the host (native C++ in
+    # the prefetch loader, overlapped with device compute) while the TPU does
+    # the 25 height channels in-graph. False = everything on device.
+    host_aux_channels: bool = True
     max_gt: int = 32                   # padded ground-truth boxes per frame
     remove_empty_thresh: float = 0.0   # cfg.REMOVE_THRES
     detect_classes: Tuple[str, ...] = ("Car", "Van")   # cfg.DETECT_OBJ

@@ -51,6 +51,8 @@ def _load() -> Optional[ctypes.CDLL]:
     lib.mv3d_lidar_to_top.argtypes = [p, i, p] + [f] * 9 + [i] * 4
     lib.mv3d_lidar_to_front.restype = None
     lib.mv3d_lidar_to_front.argtypes = [p, i, p] + [f] * 9 + [i] * 9
+    lib.mv3d_lidar_to_top_aux.restype = None
+    lib.mv3d_lidar_to_top_aux.argtypes = [p, i, p] + [f] * 9 + [i] * 4
     _lib = lib
     return lib
 
@@ -101,6 +103,27 @@ def lidar_to_top(points: np.ndarray, cfg: Config = _default_cfg) -> np.ndarray:
                           t.z_min, t.z_max, t.x_div, t.y_div, t.z_div,
                           t.xn, t.yn, t.zn, fc)
     return top
+
+
+def lidar_to_top_aux(points: np.ndarray, cfg: Config = _default_cfg
+                     ) -> np.ndarray:
+    """(Xn, Yn, 2) [intensity, density] aux plane (reference semantics).
+
+    Native single pass; numpy-oracle fallback slices the full voxelization.
+    """
+    t = cfg.top
+    lib = _load()
+    if lib is None:
+        from ..ops.voxelize_ref import lidar_to_top_np
+        return lidar_to_top_np(points, cfg)[:, :, t.zn:]
+    points = np.ascontiguousarray(points, dtype=np.float32)
+    fc = 1 if cfg.dataset_type in ("didi", "didi2", "test") else 0
+    aux = np.zeros((t.xn, t.yn, 2), np.float32)
+    lib.mv3d_lidar_to_top_aux(_c(points), len(points), _c(aux),
+                              t.x_min, t.x_max, t.y_min, t.y_max,
+                              t.z_min, t.z_max, t.x_div, t.y_div, t.z_div,
+                              t.xn, t.yn, t.zn, fc)
+    return aux
 
 
 def lidar_to_front(points: np.ndarray, cfg: Config = _default_cfg) -> np.ndarray:

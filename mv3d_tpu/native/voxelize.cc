@@ -109,6 +109,53 @@ void mv3d_lidar_to_top(const float* pts, int n, float* top,
   }
 }
 
+// Aux BEV channels only: intensity of the first-max-height point + log-count
+// density, written into aux[xn * yn * 2] ([row][col][{intensity, density}],
+// zero-initialized). Single pass; used by the prefetch loader so the TPU only
+// computes the height channels (the expensive irregular reductions for these
+// two channels are cheaper on the host and overlap with device compute).
+void mv3d_lidar_to_top_aux(const float* pts, int n, float* aux,
+                           float x_min, float x_max, float y_min, float y_max,
+                           float z_min, float z_max, float x_div, float y_div,
+                           float z_div, int xn, int yn, int zn,
+                           int filter_center) {
+  const int n_cells = xn * yn;
+  std::vector<int32_t> count(n_cells, 0);
+  std::vector<float> best_qz(n_cells, -1.0f);
+  std::vector<int32_t> best_idx(n_cells, -1);
+
+  for (int i = 0; i < n; ++i) {
+    const float x = pts[i * 4 + 0];
+    const float y = pts[i * 4 + 1];
+    const float z = pts[i * 4 + 2];
+    if (!(x > x_min && x < x_max && y > y_min && y < y_max &&
+          z > z_min && z < z_max))
+      continue;
+    if (filter_center && std::fabs(x) <= 4.7f / 2 && std::fabs(y) <= 2.1f / 2)
+      continue;
+    const int qx = (int)std::floor((x - x_min) / x_div);
+    const int qy = (int)std::floor((y - y_min) / y_div);
+    const int row = xn - 1 - qx;
+    const int col = yn - 1 - qy;
+    if (row < 0 || row >= xn || col < 0 || col >= yn) continue;
+    const int cell = row * yn + col;
+    const float qz = (z - z_min) / z_div;
+    if (qz > best_qz[cell]) {
+      best_qz[cell] = qz;
+      best_idx[cell] = i;
+    }
+    count[cell] += 1;
+  }
+  const float log32 = std::log(32.0f);
+  for (int c = 0; c < n_cells; ++c) {
+    if (count[c] > 0) {
+      aux[c * 2 + 0] = pts[(size_t)best_idx[c] * 4 + 3];
+      float d = std::log((float)count[c] + 1.0f) / log32;
+      aux[c * 2 + 1] = d < 1.0f ? d : 1.0f;
+    }
+  }
+}
+
 // Cylindrical front view: front must be zero-initialized
 // (width * height * 3) floats laid out [c][r][channel]; per-pixel mean of
 // (height above ground, distance-with-reflectance, intensity).

@@ -50,7 +50,8 @@ def _crop_mask(points: jnp.ndarray, cfg: Config,
 
 
 def lidar_to_top(points: jnp.ndarray, cfg: Config = _default_cfg,
-                 num_points: Optional[jnp.ndarray] = None) -> jnp.ndarray:
+                 num_points: Optional[jnp.ndarray] = None,
+                 aux: Optional[jnp.ndarray] = None) -> jnp.ndarray:
     """(N, 4) padded lidar points -> (Xn, Yn, Zn+2) BEV map, float32.
 
     Channels 0..Zn-1: per-slice max height above the slice floor (in z-cell
@@ -72,6 +73,13 @@ def lidar_to_top(points: jnp.ndarray, cfg: Config = _default_cfg,
          it is reconstructed exactly from the height channels as
          max_s (s + h[s]) over occupied slices (f32-exact because qz - s and
          s + frac are exact for s in [0, 25)).
+
+    ``aux``: optional precomputed (Xn, Yn, 2) [intensity, density] plane
+    (e.g. from the native C++ host library via the prefetch loader,
+    mv3d_tpu.native.lidar_to_top_aux). When given, the device computes only
+    the height channels — the production serving/training configuration: the
+    host's single-pass C++ aux computation (~1 ms) overlaps with device
+    compute through the loader's prefetch thread.
     """
     t = cfg.top
     xn, yn, zn = t.xn, t.yn, t.zn
@@ -99,6 +107,11 @@ def lidar_to_top(points: jnp.ndarray, cfg: Config = _default_cfg,
     heights = jnp.zeros(n_cells * zn + 1, jnp.float32).at[flat].max(
         jnp.where(valid, val, 0.0))
     heights = heights[:n_cells * zn].reshape(n_cells, zn)
+
+    if aux is not None:
+        top = jnp.concatenate(
+            [heights.reshape(xn, yn, zn), aux.astype(jnp.float32)], axis=-1)
+        return top
 
     # per-cell max height reconstructed from the slices (no scatter):
     # occupied slices have h > 0 (qz > 0 strictly inside the crop)
@@ -175,12 +188,28 @@ def lidar_to_front(points: jnp.ndarray, cfg: Config = _default_cfg,
 # ---------------------------------------------------------------------------
 
 def lidar_to_top_batch(points: jnp.ndarray, cfg: Config = _default_cfg,
-                       num_points: Optional[jnp.ndarray] = None) -> jnp.ndarray:
-    """(B, N, 4) -> (B, Xn, Yn, Zn+2)."""
+                       num_points: Optional[jnp.ndarray] = None,
+                       aux: Optional[jnp.ndarray] = None) -> jnp.ndarray:
+    """(B, N, 4) -> (B, Xn, Yn, Zn+2). Optional (B, Xn, Yn, 2) host aux."""
     fn = partial(lidar_to_top, cfg=cfg)
-    if num_points is None:
-        return jax.vmap(lambda p: fn(p))(points)
-    return jax.vmap(lambda p, m: fn(p, num_points=m))(points, num_points)
+    args = [points]
+    in_axes = [0]
+    kw = {}
+    if num_points is not None:
+        args.append(num_points)
+        in_axes.append(0)
+        kw["num"] = len(args) - 1
+    if aux is not None:
+        args.append(aux)
+        in_axes.append(0)
+        kw["aux"] = len(args) - 1
+
+    def call(*a):
+        return fn(a[0],
+                  num_points=a[kw["num"]] if "num" in kw else None,
+                  aux=a[kw["aux"]] if "aux" in kw else None)
+
+    return jax.vmap(call, in_axes=tuple(in_axes))(*args)
 
 
 def lidar_to_front_batch(points: jnp.ndarray, cfg: Config = _default_cfg,

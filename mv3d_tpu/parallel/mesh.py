@@ -96,6 +96,7 @@ def make_sharded_train_step(model, optimizer, train_targets, mesh: Mesh,
     batch_spec = {
         "points": data_sharded, "num_points": data_sharded,
         "rgb": data_sharded, "top": data_sharded, "front": data_sharded,
+        "top_aux": data_sharded,
         "gt_boxes3d": data_sharded, "gt_labels": data_sharded,
         "gt_mask": data_sharded,
     }

@@ -40,7 +40,8 @@ def _prepare_views(batch: Dict[str, jnp.ndarray], cfg: Config
         pts = batch["points"]
         num = batch.get("num_points")
         batch = dict(batch)
-        batch["top"] = lidar_to_top_batch(pts, cfg, num)
+        batch["top"] = lidar_to_top_batch(pts, cfg, num,
+                                          aux=batch.pop("top_aux", None))
         batch["front"] = lidar_to_front_batch(pts, cfg, num)
     return batch
 
@@ -248,7 +249,8 @@ class Trainer(MV3D):
     def fit_iteration(self, batch: Dict[str, np.ndarray],
                       is_validation: bool = False) -> Dict[str, float]:
         """One optimization (or validation) step on a host batch dict."""
-        batch = {k: jnp.asarray(v) for k, v in batch.items()}
+        batch = {k: jnp.asarray(v) for k, v in batch.items()
+                 if k != "tags"}
         step = self._eval_step if is_validation else self._train_step
         self.variables, self.opt_state, loss_dict = step(
             self.variables, self.opt_state, batch, self._next_key())

@@ -147,3 +147,28 @@ def test_shapes():
     assert CFG.top.shape == (800, 600, 27)
     assert CFG.front.shape == (1500, 100, 3)
     assert CFG.top.zn == 25
+
+
+def test_aux_channel_path(rng):
+    """Hybrid path: device heights + host-computed aux == full voxelization."""
+    pts = make_cloud(rng, 4000, SMALL)
+    padded, _ = voxelize.pad_points(pts, 8192)
+    want = voxelize_ref.lidar_to_top_np(pts, SMALL)
+    aux = want[:, :, SMALL.top.zn:]
+    got = np.asarray(voxelize.lidar_to_top(padded, SMALL, aux=aux))
+    np.testing.assert_allclose(got, want, rtol=0, atol=5e-5)
+    # batched
+    got_b = np.asarray(voxelize.lidar_to_top_batch(
+        padded[None], SMALL, aux=aux[None]))
+    np.testing.assert_allclose(got_b[0], want, rtol=0, atol=5e-5)
+
+
+def test_native_aux_matches_oracle(rng):
+    from mv3d_tpu import native
+    if not native.available():
+        import pytest
+        pytest.skip("no C++ toolchain")
+    pts = make_cloud(rng, 4000, SMALL)
+    aux = native.lidar_to_top_aux(pts, SMALL)
+    want = voxelize_ref.lidar_to_top_np(pts, SMALL)[:, :, SMALL.top.zn:]
+    np.testing.assert_allclose(aux, want, rtol=0, atol=2e-5)
