@@ -69,13 +69,16 @@ class MV3D:
 
         self._infer = jax.jit(_infer)
 
-        def _infer_points(variables, points, num_points, rgb, score_threshold):
-            top = lidar_to_top_batch(points, self.cfg, num_points)
+        def _infer_points(variables, points, num_points, rgb, score_threshold,
+                          top_aux=None):
+            top = lidar_to_top_batch(points, self.cfg, num_points, aux=top_aux)
             front = lidar_to_front_batch(points, self.cfg, num_points)
             return self.model.forward_inference(
                 variables, top, rgb, front, score_threshold=score_threshold)
 
         self._infer_points = jax.jit(_infer_points)
+        self._infer_points_aux = jax.jit(
+            lambda v, p, n, r, s, a: _infer_points(v, p, n, r, s, top_aux=a))
 
     # -- weights --------------------------------------------------------------
 
@@ -127,7 +130,8 @@ class MV3D:
         return boxes3d, [], probs
 
     def predict_from_points(self, points, num_points, rgb,
-                            score_threshold: Optional[float] = None
+                            score_threshold: Optional[float] = None,
+                            top_aux=None
                             ) -> Tuple[np.ndarray, list, np.ndarray]:
         """Single-frame detection from raw padded lidar points: voxelization
         and detection run as ONE XLA program (the reference crosses the
@@ -141,8 +145,16 @@ class MV3D:
         if rgb.ndim == 3:
             rgb = rgb[None]
         num_points = jnp.atleast_1d(jnp.asarray(num_points, jnp.int32))
-        dets, _ = self._infer_points(self.variables, points, num_points, rgb,
-                                     jnp.float32(score_threshold))
+        if top_aux is not None:
+            top_aux = jnp.asarray(top_aux)
+            if top_aux.ndim == 3:
+                top_aux = top_aux[None]
+            dets, _ = self._infer_points_aux(
+                self.variables, points, num_points, rgb,
+                jnp.float32(score_threshold), top_aux)
+        else:
+            dets, _ = self._infer_points(self.variables, points, num_points,
+                                         rgb, jnp.float32(score_threshold))
         mask = np.asarray(dets.mask[0])
         boxes3d = np.asarray(dets.boxes3d[0])[mask]
         probs = np.asarray(dets.probs[0])[mask]

@@ -112,3 +112,40 @@ def test_trainer_loop_runs(tmp_path, dataset):
     assert tr.n_global_step == 3
     # final weights + progress were written
     assert tr.checkpointers[TOP_VIEW_RPN].latest_step() is not None
+
+
+def test_trainer_consumes_loader_batches(tmp_path):
+    """Integration: Trainer trains from real BatchLoader batches (points +
+    host aux channels + tags present)."""
+    from mv3d_tpu.data.kitti import Frame
+    from mv3d_tpu.data.loader import BatchLoader
+    from mv3d_tpu.ops import boxes3d as box3d_ops
+
+    rng = np.random.RandomState(0)
+
+    class SynthDataset:
+        def __len__(self):
+            return 4
+
+        def load_frame(self, i):
+            pts = np.stack([rng.uniform(0, 16, 3000),
+                            rng.uniform(-6, 6, 3000),
+                            rng.uniform(-4, 0.8, 3000),
+                            rng.uniform(0, 1, 3000)], 1).astype(np.float32)
+            gt = np.asarray(box3d_ops.box3d_compose(
+                [8.0, 0.0, -1.5], [1.5, 1.6, 4.0], [0, 0, 0.2], CFG))[None]
+            return Frame(tag=f"f{i}", points=pts,
+                         rgb=np.zeros((64, 96, 3), np.uint8),
+                         gt_boxes3d=gt.astype(np.float32),
+                         gt_labels=np.ones(1, np.int32))
+
+    with BatchLoader(SynthDataset(), CFG, batch_size=1) as bl:
+        batch = bl.load()
+        assert "top_aux" in batch and "tags" in batch
+        tr = Trainer(bl, train_targets=[TOP_VIEW_RPN], cfg=CFG,
+                     log_tag="ld", checkpoint_dir=str(tmp_path / "c"),
+                     log_dir=str(tmp_path / "l"))
+        losses = tr.fit_iteration(batch)
+        assert np.isfinite(losses["top_cls_loss"])
+        # loop path too
+        tr(max_iter=2)
