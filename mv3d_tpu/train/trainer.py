@@ -308,3 +308,97 @@ class Trainer(MV3D):
         self.save_weights(self.train_targets, self.n_global_step)
         save_progress(self.log_dir, self.tag, self.n_global_step)
         return last
+
+
+class TesterRPN(MV3D):
+    """RPN-only prober: per-frame proposals + scores + score heatmap.
+
+    Parity: reference ``Tester_RPN`` (mv3d.py:1436-1490) — used by
+    ``test.py test_rpn`` to dump proposals for external evaluation.
+    """
+
+    def __init__(self, cfg: Config = _default_cfg, log_tag: str = "default",
+                 checkpoint_dir: str = "checkpoint", load: bool = True, **kw):
+        super().__init__(cfg, log_tag=log_tag, checkpoint_dir=checkpoint_dir,
+                         **kw)
+        if load:
+            self.load_weights(["top_view_rpn"])
+
+        from ..ops.anchors import non_empty_anchor_mask
+        from ..ops.proposal import rpn_proposals
+        model, config = self.model, self.cfg
+
+        def _rpn(variables, top):
+            out = model.top_rpn.apply(variables["top_view_rpn"], top, False)
+            inside = non_empty_anchor_mask(
+                top[0], model.anchors, config.pipeline.remove_empty_thresh)
+            props = rpn_proposals(out["scores"][0], out["deltas"][0],
+                                  model.anchors, inside, config)
+            return props, out["score_map"]
+
+        self._rpn = jax.jit(_rpn)
+
+    def __call__(self, top_view):
+        top = jnp.asarray(top_view)
+        if top.ndim == 3:
+            top = top[None]
+        props, heatmap = self._rpn(self.variables, top)
+        mask = np.asarray(props.mask)
+        return (np.asarray(props.rois)[mask], np.asarray(props.scores)[mask],
+                np.asarray(heatmap[0]))
+
+
+class Tester3DOP(MV3D):
+    """Fusion head on externally supplied 3D proposals (e.g. 3DOP).
+
+    Parity: reference ``Tester_3DOP`` (mv3d.py:1410-1434) — bypasses the RPN
+    and classifies/regresses a given (K, 8, 3) proposal set.
+    """
+
+    def __init__(self, cfg: Config = _default_cfg, log_tag: str = "default",
+                 checkpoint_dir: str = "checkpoint", load: bool = True, **kw):
+        super().__init__(cfg, log_tag=log_tag, checkpoint_dir=checkpoint_dir,
+                         **kw)
+        if load:
+            self.load_weights()
+
+        from ..ops import boxes3d as box3d_ops
+        from ..ops.detect import rcnn_nms
+        model, config = self.model, self.cfg
+
+        def _fuse(variables, top, rgb, front, rois3d, roi_mask,
+                  score_threshold):
+            outs, _ = model.extract_features(variables, top, rgb, front,
+                                             train=False)
+            top_rois = box3d_ops.box3d_to_top_box(rois3d, config)
+            feats = {"top": outs["rpn"]["features"][0]}
+            if "rgb_features" in outs:
+                feats["rgb"] = outs["rgb_features"][0]
+            if "front_features" in outs:
+                feats["front"] = outs["front_features"][0]
+            pooled = model.pool_rois(feats, rois3d, top_rois)
+            fuse = model.fusion.apply(variables["fusion"], pooled, False)
+            return rcnn_nms(fuse["probs"], fuse["deltas"], rois3d, roi_mask,
+                            score_threshold=score_threshold, cfg=config)
+
+        self._fuse = jax.jit(_fuse)
+
+    def __call__(self, top_view, front_view, rgb_image, rois3d,
+                 score_threshold: Optional[float] = None):
+        if score_threshold is None:
+            score_threshold = self.cfg.rcnn.score_threshold
+        top = jnp.asarray(top_view)
+        if top.ndim == 3:
+            top = top[None]
+        rgb = jnp.asarray(rgb_image)
+        if rgb.ndim == 3:
+            rgb = rgb[None]
+        front = jnp.asarray(front_view)
+        if front.ndim == 3:
+            front = front[None]
+        rois3d = jnp.asarray(rois3d, jnp.float32)
+        mask = jnp.ones(rois3d.shape[0], bool)
+        dets = self._fuse(self.variables, top, rgb, front, rois3d, mask,
+                          jnp.float32(score_threshold))
+        m = np.asarray(dets.mask)
+        return np.asarray(dets.probs)[m], np.asarray(dets.boxes3d)[m]

@@ -149,3 +149,30 @@ def test_trainer_consumes_loader_batches(tmp_path):
         assert np.isfinite(losses["top_cls_loss"])
         # loop path too
         tr(max_iter=2)
+
+
+def test_tester_rpn(tmp_path, dataset):
+    from mv3d_tpu.train.trainer import TesterRPN
+    t = TesterRPN(cfg=CFG, log_tag="trpn",
+                  checkpoint_dir=str(tmp_path / "c"),
+                  log_dir=str(tmp_path / "l"), load=False)
+    b = dataset.load()
+    rois, scores, heatmap = t(np.asarray(b["top"][0]))
+    assert rois.ndim == 2 and rois.shape[1] == 5
+    assert heatmap.shape[0] == CFG.top_feature_shape()[0]
+
+
+def test_tester_3dop(tmp_path, dataset):
+    from mv3d_tpu.ops import boxes3d as box3d_ops
+    from mv3d_tpu.train.trainer import Tester3DOP
+    t = Tester3DOP(cfg=CFG, log_tag="t3dop",
+                   checkpoint_dir=str(tmp_path / "c"),
+                   log_dir=str(tmp_path / "l"), load=False)
+    b = dataset.load()
+    rois3d = np.stack([np.asarray(box3d_ops.box3d_compose(
+        [6.0 + 2 * i, 0.0, -1.5], [1.5, 1.6, 4.0], [0, 0, 0.1], CFG))
+        for i in range(4)])
+    probs, boxes3d = t(np.asarray(b["top"][0]), np.asarray(b["front"][0]),
+                       np.asarray(b["rgb"][0]), rois3d, score_threshold=0.0)
+    assert boxes3d.shape[1:] == (8, 3)
+    assert len(probs) == len(boxes3d)
