@@ -102,13 +102,14 @@ def main():
         # (no device->host transfer) and computes aux in its prefetch thread
         host_clouds = [cloud(BATCH) for _ in range(N_DISTINCT)]
         t0 = time.time()
-        auxes = []
-        for bn in host_clouds:
-            auxes.append(jax.device_put(jnp.asarray(np.stack(
-                [native.lidar_to_top_aux(bn[i], cfg) for i in range(BATCH)]))))
+        aux_np = [np.stack([native.lidar_to_top_aux(bn[i], cfg)
+                            for i in range(BATCH)]) for bn in host_clouds]
         aux_dt = (time.time() - t0) / (N_DISTINCT * BATCH)
-        batches = [jax.device_put(jnp.asarray(c)) for c in host_clouds]
         log(f"host aux (C++ single thread): {aux_dt*1000:.2f} ms/frame")
+        # inputs pre-staged on device, same as `batches` (in production the
+        # 3.8 MB/frame aux copy rides the loader's async prefetch)
+        auxes = [jax.device_put(jnp.asarray(a)) for a in aux_np]
+        batches = [jax.device_put(jnp.asarray(c)) for c in host_clouds]
 
         def full_hybrid(variables, points, rgb, aux):
             top = voxelize.lidar_to_top_batch(points, cfg, aux=aux)
