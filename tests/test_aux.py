@@ -118,3 +118,19 @@ def test_viz_renderers():
     cam = np.zeros((375, 1242, 3), np.uint8)
     out = viz.draw_rgb_projections(cam, box, cfg=CFG)
     assert out.sum() > 0
+
+
+def test_seq_motion_tracker_learns():
+    from mv3d_tpu.tracking.seq_model import SeqMotionTracker
+    rng = np.random.RandomState(0)
+    # constant-velocity trajectories with noise
+    B, T = 16, 10
+    v = rng.uniform(-1, 1, (B, 1, 3))
+    t = np.arange(T).reshape(1, T, 1)
+    tracks = v * t + rng.normal(0, 0.01, (B, T, 3))
+    tr = SeqMotionTracker(hidden=32, lr=5e-3)
+    loss = tr.fit(tracks.astype(np.float32), steps=300)
+    assert loss < 0.05
+    pred = tr.predict_next(tracks[:, :-1])
+    err = np.linalg.norm(pred - tracks[:, -1], axis=1)
+    assert err.mean() < 0.35, err.mean()
