@@ -61,6 +61,8 @@ class MV3D:
             name: SubnetCheckpointer(name, self.ckpt_dir)
             for name in SUBNET_NAMES}
         self.log = Logger(os.path.join(log_dir, "log.txt"))
+        from ..utils.metrics import MetricsWriter
+        self.metrics = MetricsWriter(log_dir, tag=log_tag)
         self.variables = self.model.init_variables(jax.random.PRNGKey(seed))
 
         def _infer(variables, top, rgb, front, score_threshold):
@@ -209,6 +211,8 @@ class Trainer(MV3D):
         self.opt_state = self.optimizer.init(params)
 
         self.n_global_step = 0
+        # periodic gt/prediction image dumps (reference iter_debug, mv3d.py:993)
+        self.debug_image_every = 0
         if not continue_train:
             self.clean_weights(self.train_targets)
         else:
@@ -258,6 +262,23 @@ class Trainer(MV3D):
         self._key, k = jax.random.split(self._key)
         return k
 
+    def _dump_debug_images(self, batch, step: int):
+        from ..utils.metrics import dump_debug_images
+        boxes3d, _, _ = self.predict_from_points(
+            np.asarray(batch["points"][0]),
+            int(np.asarray(batch["num_points"][0])),
+            np.asarray(batch["rgb"][0]), score_threshold=0.5)
+        from ..ops import voxelize_ref
+        pts = np.asarray(batch["points"][0])
+        top = voxelize_ref.lidar_to_top_np(
+            pts[: int(np.asarray(batch["num_points"][0]))], self.cfg)
+        gm = np.asarray(batch["gt_mask"][0])
+        dump_debug_images(
+            os.path.join(self.log_dir, "debug_images", self.tag), step,
+            top, rgb=np.asarray(batch["rgb"][0]),
+            gt_boxes3d=np.asarray(batch["gt_boxes3d"][0])[gm],
+            det_boxes3d=boxes3d, cfg=self.cfg)
+
     def fit_iteration(self, batch: Dict[str, np.ndarray],
                       is_validation: bool = False) -> Dict[str, float]:
         """One optimization (or validation) step on a host batch dict."""
@@ -296,6 +317,10 @@ class Trainer(MV3D):
                     step_name, it,
                     last["top_cls_loss"], last["top_reg_loss"],
                     last["fuse_cls_loss"], last["fuse_reg_loss"]))
+            self.metrics.write(it, last, phase=step_name)
+            if (self.debug_image_every and it > 0 and
+                    it % self.debug_image_every == 0 and "points" in batch):
+                self._dump_debug_images(batch, it)
             if np.any(np.isnan(list(last.values()))):
                 raise FloatingPointError(f"NaN loss at iter {it}: {last}")
             self.n_global_step = it + 1

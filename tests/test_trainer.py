@@ -176,3 +176,26 @@ def test_tester_3dop(tmp_path, dataset):
                        np.asarray(b["rgb"][0]), rois3d, score_threshold=0.0)
     assert boxes3d.shape[1:] == (8, 3)
     assert len(probs) == len(boxes3d)
+
+
+def test_metrics_and_debug_images(tmp_path, dataset):
+    import json
+    from mv3d_tpu.utils.metrics import MetricsWriter, dump_debug_images
+    mw = MetricsWriter(str(tmp_path), tag="x")
+    mw.write(0, {"a": 1.0})
+    mw.write(1, {"a": 3.0}, phase="train")
+    assert mw.means()["a"] == 2.0
+    mw.close()
+    with open(mw.path) as f:
+        recs = [json.loads(l) for l in f]
+    assert recs[1]["phase"] == "train"
+
+    from mv3d_tpu.ops import boxes3d as box3d_ops
+    top = np.random.RandomState(0).rand(*CFG.top_shape).astype(np.float32)
+    gt = np.asarray(box3d_ops.box3d_compose(
+        [8.0, 0.0, -1.5], [1.5, 1.6, 4.0], [0, 0, 0.2], CFG))[None]
+    d = dump_debug_images(str(tmp_path / "imgs"), 7, top,
+                          rgb=np.zeros((64, 96, 3), np.uint8),
+                          gt_boxes3d=gt, cfg=CFG)
+    assert os.path.exists(os.path.join(d, "top.png"))
+    assert os.path.exists(os.path.join(d, "camera.png"))
