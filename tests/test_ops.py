@@ -269,3 +269,50 @@ def test_rcnn_nms_suppression():
     m = np.asarray(det.mask)
     assert m.sum() == 1
     assert np.asarray(det.probs)[m][0] == np.float32(0.9)
+
+
+def test_rpn_proposals_golden_chain(rng):
+    """Golden test of the full proposal chain against an independent numpy
+    implementation of the reference semantics (rpn_nms_op.py:90-145):
+    decode -> clip -> min-size -> sort -> pre-topk -> greedy NMS -> post-topk."""
+    import dataclasses
+    from mv3d_tpu.config import kitti_config
+    cfg = dataclasses.replace(
+        kitti_config(),
+        rpn=dataclasses.replace(kitti_config().rpn, nms_pre_topn=200,
+                                nms_post_topn=12))
+    anchors, _ = anchor_ops.make_anchors(
+        anchor_ops.mv3d_car_bases(), 8, cfg.top.shape[:2],
+        cfg.top_feature_shape())
+    A = len(anchors)
+    probs1 = rng.rand(A).astype(np.float32)
+    scores = np.stack([1 - probs1, probs1], 1)
+    deltas = (rng.randn(A, 4) * 0.1).astype(np.float32)
+    inside = rng.rand(A) < 0.7
+
+    out = proposal.rpn_proposals(jnp.asarray(scores), jnp.asarray(deltas),
+                                 jnp.asarray(anchors), jnp.asarray(inside),
+                                 cfg)
+
+    # numpy reference chain
+    h, w = cfg.top.shape[:2]
+    af = anchors.astype(np.float32)
+    dec = np.asarray(box_ops.box_transform_inv(jnp.asarray(af),
+                                               jnp.asarray(deltas)))
+    dec = np.asarray(box_ops.clip_boxes(jnp.asarray(dec), w, h))
+    ws = dec[:, 2] - dec[:, 0] + 1
+    hs = dec[:, 3] - dec[:, 1] + 1
+    keep = inside & (ws >= cfg.rpn.nms_min_size) & (hs >= cfg.rpn.nms_min_size)
+    idx = np.where(keep)[0]
+    order = idx[np.argsort(-probs1[idx], kind="stable")][:cfg.rpn.nms_pre_topn]
+    cand_boxes, cand_scores = dec[order], probs1[order]
+    kept = np_greedy_nms(cand_boxes, cand_scores, cfg.rpn.nms_thresh)
+    kept = kept[:cfg.rpn.nms_post_topn]
+
+    mask = np.asarray(out.mask)
+    got_boxes = np.asarray(out.rois)[mask][:, 1:]
+    want_boxes = cand_boxes[kept]
+    assert mask.sum() == len(kept)
+    np.testing.assert_allclose(got_boxes, want_boxes, atol=1e-4)
+    np.testing.assert_allclose(np.asarray(out.scores)[mask],
+                               cand_scores[kept], atol=1e-6)
