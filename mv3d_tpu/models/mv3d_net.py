@@ -28,7 +28,9 @@ import numpy as np
 
 from ..config import Config, cfg as _default_cfg
 from ..ops import boxes3d as box3d_ops
-from ..ops.anchors import anchor_setup, non_empty_anchor_mask
+from ..ops.anchors import (anchor_setup, mv3d_car_bases,
+                           non_empty_anchor_mask,
+                           non_empty_anchor_mask_structured)
 from ..ops.detect import Detections, rcnn_nms
 from ..ops.proposal import Proposals, rpn_proposals
 from ..ops.roi_align import roi_align
@@ -101,6 +103,8 @@ class MV3DNet:
         self.fusion = FusionHead(cfg=cfg, dtype=dtype)
         anchors_np, _ = anchor_setup(cfg)
         self.anchors = jnp.asarray(anchors_np)
+        self._bases_np = np.asarray(cfg.model.bases)
+        self._feat_shape = cfg.top_feature_shape()
 
         m = cfg.model
         self.views = ["top"]
@@ -128,6 +132,13 @@ class MV3DNet:
                      for v in self.views}
         variables[FUSION] = self.fusion.init(k4, roi_feats)
         return jax.tree.map(lambda x: x, variables)   # plain dict copy
+
+    def anchor_mask(self, top_view_frame: jnp.ndarray) -> jnp.ndarray:
+        """In-graph empty-anchor filter for one frame (gather-free strided
+        formulation — the anchors are a static base+stride grid)."""
+        return non_empty_anchor_mask_structured(
+            top_view_frame, self._bases_np, self.cfg.model.rpn_stride,
+            self._feat_shape, self.cfg.pipeline.remove_empty_thresh)
 
     # -- feature extraction ---------------------------------------------------
 
@@ -196,8 +207,7 @@ class MV3DNet:
 
         def per_frame(top_i, scores_i, deltas_i, feat_top_i, feat_rgb_i,
                       feat_front_i):
-            inside = non_empty_anchor_mask(top_i, self.anchors,
-                                           cfg.pipeline.remove_empty_thresh)
+            inside = self.anchor_mask(top_i)
             props = rpn_proposals(scores_i, deltas_i, self.anchors, inside,
                                   cfg, nms_thresh=nms_thresh)
             rois3d = box3d_ops.top_box_to_box3d(props.rois[:, 1:5], cfg)
@@ -284,8 +294,7 @@ class MV3DNet:
         def per_frame(top_i, scores_i, deltas_i, gt_top_i, gt3d_i, gl_i, gm_i,
                       key_i):
             k1, k2 = jax.random.split(key_i)
-            inside = non_empty_anchor_mask(top_i, self.anchors,
-                                           cfg.pipeline.remove_empty_thresh)
+            inside = self.anchor_mask(top_i)
             rpn_tg = target_lib.rpn_target(self.anchors, inside, gt_top_i,
                                            gl_i, gm_i, k1, cfg)
             props = rpn_proposals(scores_i, deltas_i, self.anchors, inside, cfg)

@@ -316,3 +316,37 @@ def test_rpn_proposals_golden_chain(rng):
     np.testing.assert_allclose(got_boxes, want_boxes, atol=1e-4)
     np.testing.assert_allclose(np.asarray(out.scores)[mask],
                                cand_scores[kept], atol=1e-6)
+
+
+def test_structured_anchor_mask_matches_generic(rng):
+    """The gather-free strided-slice filter must match the generic
+    integral-image filter exactly, including edge clamping."""
+    import dataclasses
+    cfg = dataclasses.replace(
+        kitti_config(),
+        top=dataclasses.replace(kitti_config().top, x_max=16.0, y_min=-6.0,
+                                y_max=6.0, x_div=0.2, y_div=0.2))  # (80,60,27)
+    bases = anchor_ops.mv3d_car_bases()
+    feat = cfg.top_feature_shape()
+    anchors, _ = anchor_ops.make_anchors(bases, 8, cfg.top.shape[:2], feat)
+    view = (rng.rand(*cfg.top.shape) < 0.003).astype(np.float32)
+
+    generic = np.asarray(anchor_ops.non_empty_anchor_mask(
+        jnp.asarray(view), jnp.asarray(anchors), 0.0))
+    structured = np.asarray(anchor_ops.non_empty_anchor_mask_structured(
+        jnp.asarray(view), bases, 8, feat, 0.0))
+    np.testing.assert_array_equal(structured, generic)
+
+
+def test_structured_anchor_mask_full_grid(rng):
+    bases = anchor_ops.mv3d_car_bases()
+    feat = CFG.top_feature_shape()
+    anchors, _ = anchor_ops.make_anchors(bases, 8, CFG.top.shape[:2], feat)
+    view = np.zeros(CFG.top.shape, np.float32)
+    view[100:140, 200:230, :] = 1.0
+    generic = np.asarray(anchor_ops.non_empty_anchor_mask(
+        jnp.asarray(view), jnp.asarray(anchors), 0.0))
+    structured = np.asarray(anchor_ops.non_empty_anchor_mask_structured(
+        jnp.asarray(view), bases, 8, feat, 0.0))
+    np.testing.assert_array_equal(structured, generic)
+    assert structured.any() and not structured.all()
