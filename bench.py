@@ -168,7 +168,11 @@ def main():
     vox = jax.jit(lambda p: voxelize.lidar_to_top_batch(p, cfg))
     vox(batches[0]).block_until_ready()
     t0 = time.time()
-    vs = [vox(batches[i % N_DISTINCT]) for i in range(N_MEAS)]
+    vs = []
+    for i in range(N_MEAS):
+        vs.append(vox(batches[i % N_DISTINCT]))
+        if len(vs) > 2:      # cap live (B, 800, 600, 27) buffers (OOM at b16)
+            vs.pop(0)
     jax.block_until_ready(vs)
     vox_dt = (time.time() - t0) / N_MEAS / BATCH
     one = np.asarray(batches[0][0])
