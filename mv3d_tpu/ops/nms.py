@@ -72,3 +72,77 @@ def nms_select(boxes: jnp.ndarray, scores: jnp.ndarray, valid: jnp.ndarray,
     """Greedy NMS returning gathered (boxes, scores, mask) of size max_out."""
     keep_idx, keep_mask = greedy_nms(boxes, scores, valid, iou_threshold, max_out)
     return boxes[keep_idx], jnp.where(keep_mask, scores[keep_idx], 0.0), keep_mask
+
+
+def box_vote(nms_dets, all_dets):
+    """Box voting: refine each NMS survivor by the score-weighted average of
+    all boxes overlapping it with IoU >= 0.5.
+
+    Host-side numpy utility (parity: reference ``box_vote``,
+    src/net/lib/utils/bbox.pyx:96-143). dets are (K, 5) [x1,y1,x2,y2,score].
+    """
+    import numpy as np
+    nms_dets = np.asarray(nms_dets, np.float32)
+    all_dets = np.asarray(all_dets, np.float32)
+    out = nms_dets.copy()
+    if len(all_dets) == 0:
+        return out
+    areas = ((all_dets[:, 2] - all_dets[:, 0] + 1) *
+             (all_dets[:, 3] - all_dets[:, 1] + 1))
+    for i, det in enumerate(nms_dets):
+        iw = (np.minimum(det[2], all_dets[:, 2]) -
+              np.maximum(det[0], all_dets[:, 0]) + 1)
+        ih = (np.minimum(det[3], all_dets[:, 3]) -
+              np.maximum(det[1], all_dets[:, 1]) + 1)
+        inter = np.clip(iw, 0, None) * np.clip(ih, 0, None)
+        a = (det[2] - det[0] + 1) * (det[3] - det[1] + 1)
+        iou = inter / (a + areas - inter)
+        sel = iou >= 0.5
+        w = all_dets[sel, 4]
+        out[i, :4] = (w[:, None] * all_dets[sel, :4]).sum(0) / max(w.sum(), 1e-12)
+    return out
+
+
+def non_max_suppress(boxes, scores, num_classes, nms_after_thresh=0.3,
+                     nms_before_score_thresh=0.05, is_box_vote=False,
+                     max_per_image=100):
+    """Multi-class host-side NMS with optional box voting and a global
+    per-image detection cap.
+
+    Parity: reference ``non_max_suppress`` (src/net/processing/boxes.py:
+    87-128): per class (skipping background), score-gate, greedy NMS,
+    optional box_vote, then keep the top max_per_image detections overall.
+
+    Args:
+      boxes:  (N, num_classes*4) per-class boxes.
+      scores: (N, num_classes) per-class scores.
+    Returns: list of per-class (K_c, 5) [x1,y1,x2,y2,score] arrays (index 0 =
+      background, empty).
+    """
+    import numpy as np
+    boxes = np.asarray(boxes, np.float32)
+    scores = np.asarray(scores, np.float32)
+    nms_boxes = [np.zeros((0, 5), np.float32) for _ in range(num_classes)]
+    for j in range(1, num_classes):
+        inds = np.where(scores[:, j] > nms_before_score_thresh)[0]
+        cls_scores = scores[inds, j]
+        cls_boxes = boxes[inds, j * 4:(j + 1) * 4]
+        cls_dets = np.hstack([cls_boxes, cls_scores[:, None]])
+        if len(inds):
+            keep_idx, keep_mask = greedy_nms(
+                jnp.asarray(cls_boxes), jnp.asarray(cls_scores),
+                jnp.ones(len(inds), bool), nms_after_thresh, len(inds))
+            keep = np.asarray(keep_idx)[np.asarray(keep_mask)]
+            kept = cls_dets[keep]
+            cls_dets = box_vote(kept, cls_dets) if is_box_vote else kept
+        nms_boxes[j] = cls_dets
+
+    if max_per_image > 0:
+        all_scores = np.hstack([nms_boxes[j][:, -1]
+                                for j in range(1, num_classes)])
+        if len(all_scores) > max_per_image:
+            thresh = np.sort(all_scores)[-max_per_image]
+            for j in range(1, num_classes):
+                keep = nms_boxes[j][:, -1] >= thresh
+                nms_boxes[j] = nms_boxes[j][keep]
+    return nms_boxes

@@ -350,3 +350,31 @@ def test_structured_anchor_mask_full_grid(rng):
         jnp.asarray(view), bases, 8, feat, 0.0))
     np.testing.assert_array_equal(structured, generic)
     assert structured.any() and not structured.all()
+
+
+def test_multiclass_nms_and_box_vote(rng):
+    from mv3d_tpu.ops.nms import box_vote, non_max_suppress
+    n, nc = 40, 3
+    base = rand_boxes = np.stack([rng.uniform(0, 150, n),
+                                  rng.uniform(0, 150, n)], 1)
+    boxes1 = np.hstack([base, base + rng.uniform(20, 60, (n, 2))])
+    boxes = np.hstack([boxes1 for _ in range(nc)]).astype(np.float32)
+    scores = rng.rand(n, nc).astype(np.float32)
+    out = non_max_suppress(boxes, scores, nc, nms_after_thresh=0.3,
+                           max_per_image=10)
+    assert len(out) == nc and len(out[0]) == 0
+    total = sum(len(out[j]) for j in range(1, nc))
+    assert 0 < total <= 10
+    for j in range(1, nc):
+        if len(out[j]) > 1:
+            assert np.all(np.diff(out[j][:, -1]) <= 1e-6)
+
+    # box_vote of a det against itself is identity
+    dets = np.array([[10, 10, 50, 50, 0.9]], np.float32)
+    voted = box_vote(dets, dets)
+    np.testing.assert_allclose(voted, dets, atol=1e-5)
+    # with a shifted overlapping box, the voted box moves toward it
+    all_dets = np.array([[10, 10, 50, 50, 0.5], [14, 14, 54, 54, 0.5]],
+                        np.float32)
+    voted = box_vote(dets, all_dets)
+    assert 10 < voted[0, 0] < 14
