@@ -162,6 +162,11 @@ class ModelConfig:
     use_top_only: bool = False         # cfg.USE_TOP_ONLY
     use_handcraft_fusion: bool = False
     use_learnable_fusion: bool = False
+    # siamese context-aware refinement: a second ROI pooled from an enlarged
+    # box through a twin tower, concatenated per view
+    # (cfg.USE_SIAMESE_FUSION / cfg.ROI_ENLARGE_RATIO, mv3d_net.py:535-599)
+    use_siamese_fusion: bool = False
+    roi_enlarge_ratio: float = 1.5
     high_score_threshold: float = 0.9  # cfg.HIGH_SCORE_THRESHOLD
     # fixed z extent used to lift top boxes to 3d (config.py:43-44)
     box3d_z_min: float = -2.3

@@ -56,6 +56,16 @@ def project_to_rgb_roi(rois3d: jnp.ndarray, cfg: Config) -> jnp.ndarray:
         axis=-1)
 
 
+def enlarge_rois(rois: jnp.ndarray, ratio: float) -> jnp.ndarray:
+    """Scale (R, 4) boxes about their centers (parity: fusion_net's
+    enlarge_roi, mv3d_net.py:536-552)."""
+    cx = (rois[..., 0] + rois[..., 2]) / 2.0
+    cy = (rois[..., 1] + rois[..., 3]) / 2.0
+    w = (rois[..., 2] - rois[..., 0]) * ratio
+    h = (rois[..., 3] - rois[..., 1]) * ratio
+    return jnp.stack([cx - w / 2, cy - h / 2, cx + w / 2, cy + h / 2], axis=-1)
+
+
 def project_to_front_roi(rois3d: jnp.ndarray, cfg: Config) -> jnp.ndarray:
     """(R, 8, 3) -> (R, 4) front-view boxes as (r1, c1, r2, c2).
 
@@ -130,6 +140,10 @@ class MV3DNet:
         ph, pw = cfg.model.roi_pool_size
         roi_feats = {v: jnp.zeros((2, ph, pw, 128), jnp.float32)
                      for v in self.views}
+        if cfg.model.use_siamese_fusion:
+            roi_feats.update({v + "_ctx": jnp.zeros((2, ph, pw, 128),
+                                                    jnp.float32)
+                              for v in self.views})
         variables[FUSION] = self.fusion.init(k4, roi_feats)
         return jax.tree.map(lambda x: x, variables)   # plain dict copy
 
@@ -175,19 +189,23 @@ class MV3DNet:
           top_rois: (R, 4) top-view boxes (x1, y1, x2, y2).
         """
         cfg = self.cfg
-        pooled = cfg.model.roi_pool_size
-        out = {}
-        out["top"] = roi_align(feats["top"], top_rois,
-                               1.0 / cfg.model.pool_stride("top"), pooled)
+        m = cfg.model
+        pooled = m.roi_pool_size
+
+        def pool(name, rois):
+            out = {name: roi_align(feats[name], rois,
+                                   1.0 / m.pool_stride(name), pooled)}
+            if m.use_siamese_fusion:
+                out[name + "_ctx"] = roi_align(
+                    feats[name], enlarge_rois(rois, m.roi_enlarge_ratio),
+                    1.0 / m.pool_stride(name), pooled)
+            return out
+
+        out = pool("top", top_rois)
         if "rgb" in self.views:
-            rgb_rois = project_to_rgb_roi(rois3d, cfg)
-            out["rgb"] = roi_align(feats["rgb"], rgb_rois,
-                                   1.0 / cfg.model.pool_stride("rgb"), pooled)
+            out.update(pool("rgb", project_to_rgb_roi(rois3d, cfg)))
         if "front" in self.views:
-            front_rois = project_to_front_roi(rois3d, cfg)
-            out["front"] = roi_align(feats["front"], front_rois,
-                                     1.0 / cfg.model.pool_stride("front"),
-                                     pooled)
+            out.update(pool("front", project_to_front_roi(rois3d, cfg)))
         return out
 
     # -- inference ------------------------------------------------------------

@@ -168,9 +168,17 @@ class FusionHead(nn.Module):
         feats = {}
         for name in ("top", "front", "rgb"):
             if name in roi_feats:
-                feats[name] = _RoiTower(dtype=self.dtype,
-                                        name=f"{name}_tower")(
+                f = _RoiTower(dtype=self.dtype, name=f"{name}_tower")(
                     roi_feats[name].astype(self.dtype), train)
+                ctx_key = name + "_ctx"
+                if ctx_key in roi_feats:
+                    # siamese context branch: twin tower over the enlarged-roi
+                    # features, concatenated per view (mv3d_net.py:535-599)
+                    fc = _RoiTower(dtype=self.dtype,
+                                   name=f"{name}_ctx_tower")(
+                        roi_feats[ctx_key].astype(self.dtype), train)
+                    f = jnp.concatenate([f, fc], axis=1)
+                feats[name] = f
 
         non_rgb = [feats[k] for k in ("top", "front") if k in feats]
         all_views = non_rgb + ([feats["rgb"]] if "rgb" in feats else [])
@@ -182,6 +190,10 @@ class FusionHead(nn.Module):
         w = jnp.concatenate(all_views, axis=1)
         w = DenseBnRelu(512, dtype=self.dtype, name="fc_all_1")(w, train)
         w = DenseBnRelu(512, dtype=self.dtype, name="fc_all_2")(w, train)
+        if m.use_siamese_fusion:
+            # extra mixing layer for the siamese features (mv3d_net.py:607-618)
+            wo = DenseBnRelu(512, dtype=self.dtype, name="fc_wo_rgb_3")(wo, train)
+            w = DenseBnRelu(512, dtype=self.dtype, name="fc_all_3")(w, train)
 
         scores_w, deltas_w = _PredictHead(
             m.num_class, dtype=self.dtype, name="head_with_rgb")(w, train)

@@ -139,3 +139,26 @@ def test_batch_two_frames(model_and_vars, rng):
     assert np.isfinite(float(loss_dict["top_cls_loss"]))
     assert np.asarray(aux["fusion_targets"].rois).shape == (
         2, CFG.rcnn.batch_size, 5)
+
+
+def test_siamese_fusion_mode(rng):
+    """USE_SIAMESE_FUSION parity: enlarged-roi twin towers + extra fc layer."""
+    import dataclasses
+    cfg = dataclasses.replace(
+        CFG, model=dataclasses.replace(CFG.model, use_siamese_fusion=True))
+    model = MV3DNet(cfg)
+    variables = model.init_variables(jax.random.PRNGKey(0))
+    # ctx towers and the third fc layer exist
+    fusion_params = variables["fusion"]["params"]
+    assert "top_ctx_tower" in fusion_params
+    assert "fc_all_3" in fusion_params
+    batch = make_batch(rng)
+    dets, props = model.forward_inference(
+        variables, batch["top"], batch["rgb"], batch["front"],
+        score_threshold=0.0)
+    assert np.isfinite(np.asarray(dets.boxes3d)).all()
+    # enlarge_rois geometry
+    from mv3d_tpu.models.mv3d_net import enlarge_rois
+    r = jnp.asarray([[10.0, 20.0, 30.0, 60.0]])
+    e = np.asarray(enlarge_rois(r, 1.5))
+    np.testing.assert_allclose(e, [[5.0, 10.0, 35.0, 70.0]])
