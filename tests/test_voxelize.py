@@ -172,3 +172,26 @@ def test_native_aux_matches_oracle(rng):
     aux = native.lidar_to_top_aux(pts, SMALL)
     want = voxelize_ref.lidar_to_top_np(pts, SMALL)[:, :, SMALL.top.zn:]
     np.testing.assert_allclose(aux, want, rtol=0, atol=2e-5)
+
+
+def test_didi_center_car_filter(rng):
+    """didi presets remove the capture vehicle's own returns
+    (|x|<=2.35 & |y|<=1.05, src/data.py:224-227) before voxelizing."""
+    didi = dataclasses.replace(
+        SMALL, dataset_type="didi2",
+        top=dataclasses.replace(SMALL.top, x_min=-8.0, x_max=8.0))
+    pts = make_cloud(rng, 3000, didi)
+    # plant points at the vehicle center: must vanish under didi, stay in kitti
+    pts[:50, 0] = rng.uniform(-1.0, 1.0, 50)
+    pts[:50, 1] = rng.uniform(-0.5, 0.5, 50)
+    pts[:50, 2] = 0.2
+
+    padded, _ = voxelize.pad_points(pts, 8192)
+    got = np.asarray(voxelize.lidar_to_top(padded, didi))
+    want = voxelize_ref.lidar_to_top_np(pts, didi)
+    np.testing.assert_allclose(got, want, rtol=0, atol=5e-5)
+
+    kitti_like = dataclasses.replace(didi, dataset_type="kitti")
+    got_k = np.asarray(voxelize.lidar_to_top(padded, kitti_like))
+    # the center cells are occupied without the filter, empty with it
+    assert got_k.sum() > got.sum()
