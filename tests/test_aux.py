@@ -134,3 +134,22 @@ def test_seq_motion_tracker_learns():
     pred = tr.predict_next(tracks[:, :-1])
     err = np.linalg.norm(pred - tracks[:, -1], axis=1)
     assert err.mean() < 0.35, err.mean()
+
+
+def test_experiment_manager(tmp_path):
+    import subprocess, sys
+    from mv3d_tpu.experiments.manager import Manager
+    exp = tmp_path / "experiments" / "exp_demo"
+    os.makedirs(exp)
+    with open(exp / "task.py", "w") as f:
+        f.write("import sys\n"
+                "assert '-n' in sys.argv\n"
+                "fast = '-t' in sys.argv\n"
+                "print('fast' if fast else 'full')\n")
+    m = Manager(str(tmp_path / "experiments"),
+                shared_dirs=())
+    found = m.discover()
+    assert len(found) == 1 and found[0].endswith("exp_demo")
+    assert m.check(found[0])
+    results = m.run_all()
+    assert results[found[0]] == "ok"
