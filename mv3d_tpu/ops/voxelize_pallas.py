@@ -7,12 +7,12 @@ measured end-to-end — the single largest cost in the detection pipeline at
 (XLA bitonic sort), which unlocks a tiled kernel:
 
   1. XLA pre-pass sorts (flat_index, value) by flat_index;
-  2. grid over output tiles (a tile = a contiguous row-band of the BEV volume,
-     sized to sit in VMEM); per-tile point windows are located with a cheap
-     searchsorted on the host side of the graph;
-  3. each kernel instance DMAs its contiguous point window HBM->VMEM and
-     applies the updates as *VMEM* read-modify-writes — each point is visited
-     exactly once, and the 48 MB output is written back once, sequentially.
+  2. grid over contiguous, VMEM-sized tiles of the flat output space; each
+     tile's contiguous point window is located with a cheap searchsorted;
+  3. each kernel instance DMAs its point window HBM->VMEM and applies the
+     updates as masked (8, 128)-block read-modify-writes in *VMEM* (Mosaic
+     has no scalar VMEM stores) — each point is visited exactly once and the
+     48 MB output is written back once, sequentially.
 
 The kernel runs in interpret mode on CPU (tests) and compiled on TPU.
 """
@@ -30,8 +30,11 @@ from jax.experimental.pallas import tpu as pltpu
 
 from ..config import Config, cfg as _default_cfg
 
-# window of sorted points DMA'd into VMEM per chunk
-_MAX_W = 16384
+_MAX_W = 2048         # sorted-point window DMA'd into SMEM per chunk
+                      # (scalar dynamic loads are an SMEM operation on TPU)
+_TILE = 131072        # flat outputs per tile: (1024, 128) f32 = 512 KB VMEM
+_LANES = 128
+_SUB = 8              # f32 sublane tile
 
 
 def _kernel(starts_ref, flat_ref, val_ref, out_ref, sflat, sval, sems,
@@ -42,9 +45,14 @@ def _kernel(starts_ref, flat_ref, val_ref, out_ref, sflat, sval, sems,
     end = starts_ref[t + 1]
 
     out_ref[:] = jnp.zeros_like(out_ref)
+    row_ids = jax.lax.broadcasted_iota(jnp.int32, (_SUB, _LANES), 0)
+    col_ids = jax.lax.broadcasted_iota(jnp.int32, (_SUB, _LANES), 1)
+
+    # DMA source offsets must be tile-aligned: round the window start down
+    start_aligned = pl.multiple_of((start // max_w) * max_w, max_w)
 
     def chunk_body(c, _):
-        chunk_start = start + c * max_w
+        chunk_start = pl.multiple_of(start_aligned + c * max_w, max_w)
 
         @pl.when(chunk_start < end)
         def _():
@@ -56,16 +64,20 @@ def _kernel(starts_ref, flat_ref, val_ref, out_ref, sflat, sval, sems,
             cp_v.start()
             cp_f.wait()
             cp_v.wait()
-            count = jnp.minimum(end - chunk_start, max_w)
+            lo = jnp.maximum(start - chunk_start, 0)
+            hi = jnp.minimum(end - chunk_start, max_w)
 
             def point_body(i, _):
-                idx = sflat[i] - base
+                idx = sflat[i] - base                 # [0, tile_flat)
                 v = sval[i]
-                cur = out_ref[idx]
-                out_ref[idx] = jnp.maximum(cur, v)
+                blk = idx // (_SUB * _LANES)
+                off = idx - blk * (_SUB * _LANES)
+                cur = out_ref[blk]                    # (8, 128) VMEM tile
+                hit = (row_ids == off // _LANES) & (col_ids == off % _LANES)
+                out_ref[blk] = jnp.where(hit, jnp.maximum(cur, v), cur)
                 return 0
 
-            jax.lax.fori_loop(0, count, point_body, 0)
+            jax.lax.fori_loop(lo, hi, point_body, 0)
 
         return 0
 
@@ -73,49 +85,52 @@ def _kernel(starts_ref, flat_ref, val_ref, out_ref, sflat, sval, sems,
 
 
 def scatter_max_sorted(flat: jnp.ndarray, val: jnp.ndarray, n_flat: int,
-                       tile_flat: int,
                        interpret: Optional[bool] = None) -> jnp.ndarray:
-    """Dense max-scatter of (N,) values at (N,) destination indices.
+    """Dense max-scatter of (N,) non-negative values at (N,) indices.
 
-    ``flat`` entries equal to ``n_flat`` are dropped (padding sentinel);
-    ``n_flat`` must be a multiple of ``tile_flat``. Values must be >= 0 (the
-    output is zero-initialized, matching the voxelizer's semantics).
+    Entries with ``flat >= n_flat`` are dropped (padding sentinel). Returns a
+    zero-initialized (n_flat,) f32 buffer with per-index maxima.
     """
-    assert n_flat % tile_flat == 0
     n = flat.shape[0]
     if interpret is None:
         interpret = jax.default_backend() == "cpu"
 
-    sflat, sval = jax.lax.sort((flat.astype(jnp.int32), val), num_keys=1)
-    # pad so window DMAs never run off the end
-    sflat = jnp.concatenate(
-        [sflat, jnp.full((_MAX_W,), n_flat, jnp.int32)])
-    sval = jnp.concatenate([sval, jnp.zeros((_MAX_W,), val.dtype)])
+    n_pad = -(-n_flat // _TILE) * _TILE
+    n_tiles = n_pad // _TILE
 
-    n_tiles = n_flat // tile_flat
-    bounds = jnp.arange(n_tiles + 1, dtype=jnp.int32) * tile_flat
+    # route all sentinels beyond the padded space
+    flat = jnp.where(flat >= n_flat, n_pad, flat.astype(jnp.int32))
+    sflat, sval = jax.lax.sort((flat, val.astype(jnp.float32)), num_keys=1)
+    # pad so window DMAs never run off the end
+    sflat = jnp.concatenate([sflat, jnp.full((_MAX_W,), n_pad, jnp.int32)])
+    sval = jnp.concatenate([sval, jnp.zeros((_MAX_W,), jnp.float32)])
+
+    bounds = jnp.arange(n_tiles + 1, dtype=jnp.int32) * _TILE
     starts = jnp.searchsorted(sflat[:n], bounds).astype(jnp.int32)
-    n_chunks = -(-n // _MAX_W)
+    n_chunks = -(-n // _MAX_W) + 1    # +1: window starts align down
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
         grid=(n_tiles,),
         in_specs=[pl.BlockSpec(memory_space=pltpu.ANY),
                   pl.BlockSpec(memory_space=pltpu.ANY)],
-        out_specs=pl.BlockSpec((tile_flat,), lambda i, *_: (i,),
+        out_specs=pl.BlockSpec((_TILE // (_SUB * _LANES), _SUB, _LANES),
+                               lambda i, *_: (i, 0, 0),
                                memory_space=pltpu.VMEM),
-        scratch_shapes=[pltpu.VMEM((_MAX_W,), jnp.int32),
-                        pltpu.VMEM((_MAX_W,), val.dtype),
+        scratch_shapes=[pltpu.SMEM((_MAX_W,), jnp.int32),
+                        pltpu.SMEM((_MAX_W,), jnp.float32),
                         pltpu.SemaphoreType.DMA((2,))],
     )
-    kernel = functools.partial(_kernel, tile_flat=tile_flat,
+    kernel = functools.partial(_kernel, tile_flat=_TILE,
                                n_chunks=int(n_chunks), max_w=_MAX_W)
-    return pl.pallas_call(
+    out = pl.pallas_call(
         kernel,
         grid_spec=grid_spec,
-        out_shape=jax.ShapeDtypeStruct((n_flat,), val.dtype),
+        out_shape=jax.ShapeDtypeStruct(
+            (n_pad // (_SUB * _LANES), _SUB, _LANES), jnp.float32),
         interpret=interpret,
     )(starts, sflat, sval)
+    return out.reshape(-1)[:n_flat]
 
 
 def heights_pallas(points: jnp.ndarray, cfg: Config = _default_cfg,
@@ -145,15 +160,5 @@ def heights_pallas(points: jnp.ndarray, cfg: Config = _default_cfg,
     val = jnp.where(valid, jnp.where(exact, 1.0, frac), 0.0)
     flat = jnp.where(valid, cell * zn + s_eff, n_cells * zn)
 
-    # tile = a contiguous band of BEV rows; pick the largest row count whose
-    # tile fits comfortably in VMEM and divides xn
-    row_flat = yn * zn
-    rows_per_tile = 1
-    for cand in (16, 8, 5, 4, 2, 1):
-        if xn % cand == 0 and cand * row_flat * 4 <= 2 * 1024 * 1024:
-            rows_per_tile = cand
-            break
-    heights = scatter_max_sorted(flat, val, n_cells * zn,
-                                 rows_per_tile * row_flat,
-                                 interpret=interpret)
+    heights = scatter_max_sorted(flat, val, n_cells * zn, interpret=interpret)
     return heights.reshape(xn, yn, zn)
