@@ -40,9 +40,15 @@ def main():
     from mv3d_tpu.models.mv3d_net import MV3DNet
     from mv3d_tpu.ops import voxelize, voxelize_ref
 
+    import dataclasses
     cfg = kitti_config()
+    if jax.default_backend() != "cpu":
+        # Pallas height-scatter kernel (compiled path only)
+        cfg = dataclasses.replace(cfg, pipeline=dataclasses.replace(
+            cfg.pipeline, use_pallas_heights=True))
     model = MV3DNet(cfg)
-    log(f"devices: {jax.devices()}  batch={BATCH}")
+    log(f"devices: {jax.devices()}  batch={BATCH} "
+        f"pallas_heights={cfg.pipeline.use_pallas_heights}")
 
     t0 = time.time()
     variables = jax.jit(model.init_variables)(jax.random.PRNGKey(0))

@@ -208,6 +208,10 @@ class PipelineConfig:
     # the prefetch loader, overlapped with device compute) while the TPU does
     # the 25 height channels in-graph. False = everything on device.
     host_aux_channels: bool = True
+    # use the Pallas sorted-segment kernel (ops/voxelize_pallas.py) for the
+    # height-channel scatter: ~7% faster end-to-end on TPU v5e. Off by
+    # default because the kernel runs in (slow) interpret mode on CPU.
+    use_pallas_heights: bool = False
     max_gt: int = 32                   # padded ground-truth boxes per frame
     remove_empty_thresh: float = 0.0   # cfg.REMOVE_THRES
     detect_classes: Tuple[str, ...] = ("Car", "Van")   # cfg.DETECT_OBJ

@@ -102,11 +102,15 @@ def lidar_to_top(points: jnp.ndarray, cfg: Config = _default_cfg,
     frac = qz - s.astype(jnp.float32)
     exact = (frac == 0.0) & (s >= 1)
     s_eff = jnp.where(exact, s - 1, s)
-    val = jnp.where(exact, 1.0, frac)
+    val = jnp.where(valid, jnp.where(exact, 1.0, frac), 0.0)
     flat = jnp.where(valid, cell * zn + s_eff, n_cells * zn)
-    heights = jnp.zeros(n_cells * zn + 1, jnp.float32).at[flat].max(
-        jnp.where(valid, val, 0.0))
-    heights = heights[:n_cells * zn].reshape(n_cells, zn)
+    if cfg.pipeline.use_pallas_heights:
+        from .voxelize_pallas import scatter_max_sorted
+        heights = scatter_max_sorted(flat, val, n_cells * zn)
+    else:
+        heights = jnp.zeros(n_cells * zn + 1, jnp.float32).at[flat].max(
+            val)[:n_cells * zn]
+    heights = heights.reshape(n_cells, zn)
 
     if aux is not None:
         top = jnp.concatenate(

@@ -45,8 +45,8 @@ def _kernel(starts_ref, flat_ref, val_ref, out_ref, sflat, sval, sems,
     end = starts_ref[t + 1]
 
     out_ref[:] = jnp.zeros_like(out_ref)
-    row_ids = jax.lax.broadcasted_iota(jnp.int32, (_SUB, _LANES), 0)
-    col_ids = jax.lax.broadcasted_iota(jnp.int32, (_SUB, _LANES), 1)
+    lin_ids = (jax.lax.broadcasted_iota(jnp.int32, (_SUB, _LANES), 0) * _LANES +
+               jax.lax.broadcasted_iota(jnp.int32, (_SUB, _LANES), 1))
 
     # DMA source offsets must be tile-aligned: round the window start down
     start_aligned = pl.multiple_of((start // max_w) * max_w, max_w)
@@ -73,8 +73,9 @@ def _kernel(starts_ref, flat_ref, val_ref, out_ref, sflat, sval, sems,
                 blk = idx // (_SUB * _LANES)
                 off = idx - blk * (_SUB * _LANES)
                 cur = out_ref[blk]                    # (8, 128) VMEM tile
-                hit = (row_ids == off // _LANES) & (col_ids == off % _LANES)
-                out_ref[blk] = jnp.where(hit, jnp.maximum(cur, v), cur)
+                # single-compare hit mask; max(cur, select) = masked max
+                out_ref[blk] = jnp.maximum(
+                    cur, jnp.where(lin_ids == off, v, 0.0))
                 return 0
 
             jax.lax.fori_loop(lo, hi, point_body, 0)

@@ -195,3 +195,21 @@ def test_didi_center_car_filter(rng):
     got_k = np.asarray(voxelize.lidar_to_top(padded, kitti_like))
     # the center cells are occupied without the filter, empty with it
     assert got_k.sum() > got.sum()
+
+
+def test_pallas_heights_kernel_parity(rng):
+    """The Pallas sorted-segment scatter kernel (interpret mode on CPU) is
+    bit-identical to the XLA scatter path and the numpy oracle."""
+    from mv3d_tpu.ops import voxelize_pallas
+    pts = make_cloud(rng, 4000, SMALL)
+    padded, _ = voxelize.pad_points(pts, 8192)
+    got = np.asarray(voxelize_pallas.heights_pallas(padded, SMALL))
+    want = voxelize_ref.lidar_to_top_np(pts, SMALL)[:, :, :SMALL.top.zn]
+    np.testing.assert_allclose(got, want, rtol=0, atol=5e-5)
+
+    # full lidar_to_top with the flag routes through the kernel
+    pcfg = dataclasses.replace(SMALL, pipeline=dataclasses.replace(
+        SMALL.pipeline, use_pallas_heights=True))
+    full = np.asarray(voxelize.lidar_to_top(padded, pcfg))
+    want_full = voxelize_ref.lidar_to_top_np(pts, SMALL)
+    np.testing.assert_allclose(full, want_full, rtol=0, atol=5e-5)
