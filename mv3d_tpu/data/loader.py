@@ -1,0 +1,145 @@
+"""Batch loader: padding, view preparation, and background prefetch.
+
+One class replaces the reference's four loader generations
+(``batch_loading`` / ``BatchLoading2`` / ``BatchLoading3`` / ``KittiLoading``,
+src/utils/batch_loading.py — threads, N processes with per-process
+``pycuda.autoinit``, pickled Queue IPC). Here the host only reads files and
+pads; voxelization happens *on device inside the train/predict step*
+(mv3d_tpu.ops.voxelize), so a single prefetch thread keeps the TPU fed.
+
+``load()`` returns the Trainer batch dict:
+  points (B, N, 4), num_points (B,), rgb (B, H, W, 3) f32,
+  gt_boxes3d (B, G, 8, 3), gt_labels (B, G), gt_mask (B, G), tags (list).
+"""
+
+from __future__ import annotations
+
+import queue
+import threading
+from typing import Dict, Iterator, List, Optional, Sequence
+
+import numpy as np
+
+from ..config import Config, cfg as _default_cfg
+from .kitti import Frame
+
+
+def _resize_rgb(rgb: np.ndarray, height: int, width: int) -> np.ndarray:
+    if rgb.shape[0] == height and rgb.shape[1] == width:
+        return rgb
+    from PIL import Image
+    img = Image.fromarray(rgb).resize((width, height), Image.BILINEAR)
+    return np.asarray(img)
+
+
+def frames_to_batch(frames: Sequence[Frame], cfg: Config = _default_cfg
+                    ) -> Dict[str, np.ndarray]:
+    """Pad a list of frames into fixed-shape batch arrays."""
+    b = len(frames)
+    n = cfg.pipeline.max_points
+    g = cfg.pipeline.max_gt
+    h, w, _ = cfg.rgb_shape
+
+    points = np.empty((b, n, 4), np.float32)
+    num_points = np.zeros(b, np.int32)
+    rgb = np.zeros((b, h, w, 3), np.float32)
+    gt_boxes3d = np.zeros((b, g, 8, 3), np.float32)
+    gt_labels = np.zeros((b, g), np.int32)
+    gt_mask = np.zeros((b, g), bool)
+    tags = []
+
+    from .. import native
+    aux = (np.zeros((b, cfg.top.xn, cfg.top.yn, 2), np.float32)
+           if cfg.pipeline.host_aux_channels else None)
+    for i, f in enumerate(frames):
+        # crop on the host (native C++ when available): out-of-bound points
+        # never reach the device, so the padded buffer holds more real points
+        points[i], k = native.crop_pad(f.points, n, cfg)
+        num_points[i] = k
+        if aux is not None:
+            # intensity/density BEV channels on the host (single C++ pass),
+            # overlapped with device compute via this prefetch thread
+            aux[i] = native.lidar_to_top_aux(points[i, :k], cfg)
+        if f.rgb is not None:
+            rgb[i] = _resize_rgb(f.rgb, h, w).astype(np.float32)
+        m = min(len(f.gt_boxes3d), g)
+        gt_boxes3d[i, :m] = f.gt_boxes3d[:m]
+        gt_labels[i, :m] = f.gt_labels[:m]
+        gt_mask[i, :m] = True
+        tags.append(f.tag)
+
+    out = {"points": points, "num_points": num_points, "rgb": rgb,
+           "gt_boxes3d": gt_boxes3d, "gt_labels": gt_labels,
+           "gt_mask": gt_mask, "tags": tags}
+    if aux is not None:
+        out["top_aux"] = aux
+    return out
+
+
+class BatchLoader:
+    """Shuffling, prefetching batch loader over any dataset with
+    ``load_frame(i) -> Frame`` and ``__len__``."""
+
+    def __init__(self, dataset, cfg: Config = _default_cfg,
+                 batch_size: int = 1, shuffle: bool = True,
+                 prefetch: int = 4, seed: int = 0, loop: bool = True):
+        self.dataset = dataset
+        self.cfg = cfg
+        self.batch_size = batch_size
+        self.shuffle = shuffle
+        self.loop = loop
+        self._rng = np.random.RandomState(seed)
+        self._queue: "queue.Queue" = queue.Queue(maxsize=prefetch)
+        self._stop = threading.Event()
+        self._thread = threading.Thread(target=self._worker, daemon=True)
+        self._thread.start()
+
+    def _indices(self) -> Iterator[int]:
+        while True:
+            order = np.arange(len(self.dataset))
+            if self.shuffle:
+                self._rng.shuffle(order)
+            yield from order
+            if not self.loop:
+                return
+
+    def _worker(self):
+        frames: List[Frame] = []
+        try:
+            for i in self._indices():
+                if self._stop.is_set():
+                    return
+                try:
+                    frames.append(self.dataset.load_frame(int(i)))
+                except Exception as e:  # damaged frame: skip (the reference
+                    # loaders print 'GG' and reshuffle, batch_loading.py:681-688)
+                    print(f"loader: skipping frame {i}: {e}")
+                    continue
+                if len(frames) == self.batch_size:
+                    self._queue.put(frames_to_batch(frames, self.cfg))
+                    frames = []
+        finally:
+            self._queue.put(None)
+
+    def load(self, timeout: Optional[float] = 60.0):
+        """Next batch dict, or None when a non-looping loader is exhausted."""
+        return self._queue.get(timeout=timeout)
+
+    def get_shape(self):
+        """(top_shape, front_shape, rgb_shape) — parity with the reference
+        loaders' get_shape (batch_loading.py:616-622)."""
+        return self.cfg.top_shape, self.cfg.front_shape, self.cfg.rgb_shape
+
+    def close(self):
+        self._stop.set()
+        try:
+            while True:
+                self._queue.get_nowait()
+        except queue.Empty:
+            pass
+
+    def __enter__(self):
+        return self
+
+    def __exit__(self, *exc):
+        self.close()
