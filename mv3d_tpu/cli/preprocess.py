@@ -20,13 +20,16 @@ def parse_args(argv=None):
     ap.add_argument("--cpu", action="store_true",
                     help="use the numpy oracle instead of the TPU")
     ap.add_argument("--no-images", action="store_true")
+    from .common import add_config_args
+    add_config_args(ap)
     return ap.parse_args(argv)
 
 
 def main(argv=None):
     args = parse_args(argv)
 
-    from ..config import cfg
+    from .common import resolve_config
+    cfg = resolve_config(args)
     from ..data.kitti import KittiObjectDataset, KittiRawDataset
     from ..data.preprocess import Preprocessor
     from ..utils import Timer

@@ -26,6 +26,8 @@ def parse_args(argv=None):
     ap.add_argument("--checkpoint-dir", default="checkpoint")
     ap.add_argument("--score-threshold", type=float, default=None)
     ap.add_argument("--limit", type=int, default=0, help="max frames (0=all)")
+    from .common import add_config_args
+    add_config_args(ap)
     return ap.parse_args(argv)
 
 
@@ -34,7 +36,8 @@ def main(argv=None):
 
     import jax.numpy as jnp
 
-    from ..config import cfg
+    from .common import resolve_config
+    cfg = resolve_config(args)
     from ..data.kitti import KittiObjectDataset
     from ..data.loader import frames_to_batch
     from ..train.trainer import Predictor

@@ -26,6 +26,8 @@ def parse_args(argv=None):
     ap.add_argument("--score-threshold", type=float, default=None)
     ap.add_argument("--eval", action="store_true",
                     help="score vs gt tracklets after prediction")
+    from .common import add_config_args
+    add_config_args(ap)
     return ap.parse_args(argv)
 
 
@@ -66,7 +68,8 @@ def pred_and_save(dataset, predictor, out_dir, score_threshold=None,
 def main(argv=None):
     args = parse_args(argv)
 
-    from ..config import cfg
+    from .common import resolve_config
+    cfg = resolve_config(args)
     from ..data.kitti import KittiRawDataset
     from ..models.nets import SUBNET_NAMES
     from ..train.trainer import Predictor

@@ -31,13 +31,16 @@ def parse_args(argv=None):
     ap.add_argument("--val-split", default="", help="validation split file")
     ap.add_argument("--checkpoint-dir", default="checkpoint")
     ap.add_argument("--log-dir", default="log")
+    from .common import add_config_args
+    add_config_args(ap)
     return ap.parse_args(argv)
 
 
 def main(argv=None):
     args = parse_args(argv)
 
-    from ..config import cfg
+    from .common import resolve_config
+    cfg = resolve_config(args)
     from ..data.kitti import KittiObjectDataset
     from ..data.loader import BatchLoader
     from ..models.nets import SUBNET_NAMES
@@ -63,7 +66,7 @@ def main(argv=None):
                 train_loader, validation_set=val_loader,
                 pre_trained_weights=weights, train_targets=targets, cfg=cfg,
                 log_tag=args.tag, continue_train=args.continue_train,
-                batch_size=args.batch_size, lr=args.lr,
+                lr=args.lr,
                 checkpoint_dir=args.checkpoint_dir, log_dir=args.log_dir)
             trainer(max_iter=args.max_iter)
         finally:

@@ -212,6 +212,11 @@ class PipelineConfig:
     # height-channel scatter: ~7% faster end-to-end on TPU v5e. Off by
     # default because the kernel runs in (slow) interpret mode on CPU.
     use_pallas_heights: bool = False
+    # pure-device mode: compute heights + intensity + density in ONE fused
+    # Pallas sweep over the sorted points (ops/voxelize_pallas.py
+    # scatter_top_fused), replacing three XLA scatters. Off by default for
+    # the same CPU-interpret reason.
+    use_pallas_fused: bool = False
     max_gt: int = 32                   # padded ground-truth boxes per frame
     remove_empty_thresh: float = 0.0   # cfg.REMOVE_THRES
     detect_classes: Tuple[str, ...] = ("Car", "Van")   # cfg.DETECT_OBJ

@@ -134,7 +134,9 @@ def lidar_to_front(points: np.ndarray, cfg: Config = _default_cfg) -> np.ndarray
         return lidar_to_front_np(points, cfg)
     points = np.ascontiguousarray(points, dtype=np.float32)
     t, f = cfg.top, cfg.front
-    fc = 1 if cfg.dataset_type in ("didi", "didi2", "test") else 0
+    # center-car filter is top-view-only in the reference (front view crops
+    # to the grid bounds alone, src/data.py:72-85)
+    fc = 0
     front = np.zeros(f.shape, np.float32)
     lib.mv3d_lidar_to_front(_c(points), len(points), _c(front),
                             t.x_min, t.x_max, t.y_min, t.y_max,

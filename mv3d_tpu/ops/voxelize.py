@@ -34,14 +34,20 @@ from ..config import Config, cfg as _default_cfg
 
 
 def _crop_mask(points: jnp.ndarray, cfg: Config,
-               num_points: Optional[jnp.ndarray]) -> jnp.ndarray:
-    """Strict-bound crop + optional didi center-car filter + padding mask."""
+               num_points: Optional[jnp.ndarray],
+               filter_center_car: bool = True) -> jnp.ndarray:
+    """Strict-bound crop + optional didi center-car filter + padding mask.
+
+    The center-car filter applies only to the *top* view (reference
+    filter_center_car is called on the top path, src/data.py:224-227, while
+    Preprocess.lidar_to_front crops to the top-grid bounds alone,
+    src/data.py:72-85)."""
     t = cfg.top
     x, y, z = points[:, 0], points[:, 1], points[:, 2]
     m = ((x > t.x_min) & (x < t.x_max) &
          (y > t.y_min) & (y < t.y_max) &
          (z > t.z_min) & (z < t.z_max))
-    if cfg.dataset_type in ("didi", "didi2", "test"):
+    if filter_center_car and cfg.dataset_type in ("didi", "didi2", "test"):
         m &= (jnp.abs(x) > 4.7 / 2) | (jnp.abs(y) > 2.1 / 2)
     if num_points is not None:
         idx = jnp.arange(points.shape[0])
@@ -104,6 +110,19 @@ def lidar_to_top(points: jnp.ndarray, cfg: Config = _default_cfg,
     s_eff = jnp.where(exact, s - 1, s)
     val = jnp.where(valid, jnp.where(exact, 1.0, frac), 0.0)
     flat = jnp.where(valid, cell * zn + s_eff, n_cells * zn)
+
+    if aux is None and cfg.pipeline.use_pallas_fused:
+        # ONE sorted Pallas sweep for all 27 channels (heights + intensity +
+        # density) — replaces the three XLA scatters below
+        from .voxelize_pallas import scatter_top_fused
+        heights, counts, intensity = scatter_top_fused(
+            flat, val, jnp.where(valid, refl, 0.0), n_cells, zn)
+        density = jnp.minimum(1.0, jnp.log(counts + 1.0) / math.log(32))
+        top = jnp.concatenate(
+            [heights.reshape(n_cells, zn),
+             intensity[:, None], density[:, None]], axis=1)
+        return top.reshape(xn, yn, zn + 2)
+
     if cfg.pipeline.use_pallas_heights:
         from .voxelize_pallas import scatter_max_sorted
         heights = scatter_max_sorted(flat, val, n_cells * zn)
@@ -157,7 +176,7 @@ def lidar_to_front(points: jnp.ndarray, cfg: Config = _default_cfg,
     n = points.shape[0]
     n_pix = f.width * f.height
 
-    valid = _crop_mask(points, cfg, num_points)
+    valid = _crop_mask(points, cfg, num_points, filter_center_car=False)
 
     # int() truncation toward zero — f32 -> int32 cast semantics
     pc = (jnp.arctan2(points[:, 1], points[:, 0]) / f.angular_res

@@ -134,6 +134,159 @@ def scatter_max_sorted(flat: jnp.ndarray, val: jnp.ndarray, n_flat: int,
     return out.reshape(-1)[:n_flat]
 
 
+# ---------------------------------------------------------------------------
+# fused kernel: heights + intensity + density in ONE sorted sweep
+# ---------------------------------------------------------------------------
+
+_CT = 4096            # cells per tile; CT*zn and CT are multiples of 1024
+
+
+def _fused_kernel(starts_ref, flat_ref, hval_ref, refl_ref,
+                  hout_ref, cout_ref, rout_ref,
+                  sflat, shval, srefl, zbest, sems,
+                  *, ct: int, zn: int, n_chunks: int, max_w: int):
+    """Per cell-tile: replay the sorted point window as masked VMEM RMWs.
+
+    For each point (one visit): slice-height max into ``hout``, +1 into the
+    cell's count in ``cout``, and a running "highest point wins, first one on
+    ties" scan over (``zbest`` scratch, ``rout``) for the intensity channel.
+    The true z-quantile is reconstructed in-kernel as qz = s_eff + hval
+    (f32-exact, including the inclusive-boundary redirect where hval == 1.0),
+    so the sort needs no extra payload for it.
+    """
+    t = pl.program_id(0)
+    base_flat = t * ct * zn
+    start = starts_ref[t]
+    end = starts_ref[t + 1]
+
+    hout_ref[:] = jnp.zeros_like(hout_ref)
+    cout_ref[:] = jnp.zeros_like(cout_ref)
+    rout_ref[:] = jnp.zeros_like(rout_ref)
+    zbest[:] = jnp.full_like(zbest, -1.0)
+    lin_ids = (jax.lax.broadcasted_iota(jnp.int32, (_SUB, _LANES), 0) * _LANES +
+               jax.lax.broadcasted_iota(jnp.int32, (_SUB, _LANES), 1))
+
+    start_aligned = pl.multiple_of((start // max_w) * max_w, max_w)
+
+    def chunk_body(c, _):
+        chunk_start = pl.multiple_of(start_aligned + c * max_w, max_w)
+
+        @pl.when(chunk_start < end)
+        def _():
+            cps = [pltpu.make_async_copy(
+                r.at[pl.ds(chunk_start, max_w)], s, sems.at[i])
+                for i, (r, s) in enumerate(
+                    [(flat_ref, sflat), (hval_ref, shval), (refl_ref, srefl)])]
+            for cp in cps:
+                cp.start()
+            for cp in cps:
+                cp.wait()
+            lo = jnp.maximum(start - chunk_start, 0)
+            hi = jnp.minimum(end - chunk_start, max_w)
+
+            def point_body(i, _):
+                f = sflat[i] - base_flat              # [0, ct*zn)
+                v = shval[i]
+                blk = f // (_SUB * _LANES)
+                off = f - blk * (_SUB * _LANES)
+                hout_ref[blk] = jnp.maximum(
+                    hout_ref[blk], jnp.where(lin_ids == off, v, 0.0))
+
+                lc = f // zn                          # local cell [0, ct)
+                s_eff = f - lc * zn
+                qz = s_eff.astype(jnp.float32) + v    # exact (see docstring)
+                cblk = lc // (_SUB * _LANES)
+                coff = lc - cblk * (_SUB * _LANES)
+                hit = lin_ids == coff
+                cout_ref[cblk] = cout_ref[cblk] + jnp.where(hit, 1.0, 0.0)
+                zb = zbest[cblk]
+                upd = hit & (qz > zb)
+                zbest[cblk] = jnp.where(upd, qz, zb)
+                rout_ref[cblk] = jnp.where(upd, srefl[i], rout_ref[cblk])
+                return 0
+
+            jax.lax.fori_loop(lo, hi, point_body, 0)
+
+        return 0
+
+    jax.lax.fori_loop(0, n_chunks, chunk_body, 0)
+
+
+def scatter_top_fused(flat: jnp.ndarray, hval: jnp.ndarray,
+                      refl: jnp.ndarray, n_cells: int, zn: int,
+                      interpret: Optional[bool] = None
+                      ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+    """One sorted sweep -> (heights (n_cells*zn,), count (n_cells,),
+    intensity (n_cells,)).
+
+    ``flat`` = cell*zn + s_eff with the boundary redirect already applied;
+    entries with ``flat >= n_cells*zn`` are padding. Replaces the three
+    separate XLA scatters of ops/voxelize.py (density scatter-add, winner-
+    index scatter-min, intensity scatter-max) and the zmax reconstruction —
+    reference semantics per src/data.py:340-366 / front_top_kernel.cu:4-65.
+    """
+    n = flat.shape[0]
+    if interpret is None:
+        interpret = jax.default_backend() == "cpu"
+
+    n_flat = n_cells * zn
+    n_cells_pad = -(-n_cells // _CT) * _CT
+    n_tiles = n_cells_pad // _CT
+    n_flat_pad = n_cells_pad * zn
+    blk = _SUB * _LANES
+    h_blocks = (_CT * zn) // blk          # blocks per heights tile
+    c_blocks = _CT // blk                 # blocks per cell tile
+
+    flat = jnp.where(flat >= n_flat, n_flat_pad, flat.astype(jnp.int32))
+    sflat, shval, srefl = jax.lax.sort(
+        (flat, hval.astype(jnp.float32), refl.astype(jnp.float32)),
+        num_keys=1)
+    sflat = jnp.concatenate([sflat, jnp.full((_MAX_W,), n_flat_pad, jnp.int32)])
+    shval = jnp.concatenate([shval, jnp.zeros((_MAX_W,), jnp.float32)])
+    srefl = jnp.concatenate([srefl, jnp.zeros((_MAX_W,), jnp.float32)])
+
+    bounds = jnp.arange(n_tiles + 1, dtype=jnp.int32) * (_CT * zn)
+    starts = jnp.searchsorted(sflat[:n], bounds).astype(jnp.int32)
+    n_chunks = -(-n // _MAX_W) + 1
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(n_tiles,),
+        in_specs=[pl.BlockSpec(memory_space=pltpu.ANY)] * 3,
+        out_specs=[
+            pl.BlockSpec((h_blocks, _SUB, _LANES), lambda i, *_: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((c_blocks, _SUB, _LANES), lambda i, *_: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((c_blocks, _SUB, _LANES), lambda i, *_: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        scratch_shapes=[pltpu.SMEM((_MAX_W,), jnp.int32),
+                        pltpu.SMEM((_MAX_W,), jnp.float32),
+                        pltpu.SMEM((_MAX_W,), jnp.float32),
+                        pltpu.VMEM((c_blocks, _SUB, _LANES), jnp.float32),
+                        pltpu.SemaphoreType.DMA((3,))],
+    )
+    kernel = functools.partial(_fused_kernel, ct=_CT, zn=int(zn),
+                               n_chunks=int(n_chunks), max_w=_MAX_W)
+    heights, count, inten = pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=[
+            jax.ShapeDtypeStruct((n_tiles * h_blocks, _SUB, _LANES),
+                                 jnp.float32),
+            jax.ShapeDtypeStruct((n_tiles * c_blocks, _SUB, _LANES),
+                                 jnp.float32),
+            jax.ShapeDtypeStruct((n_tiles * c_blocks, _SUB, _LANES),
+                                 jnp.float32),
+        ],
+        interpret=interpret,
+    )(starts, sflat, shval, srefl)
+    return (heights.reshape(-1)[:n_flat],
+            count.reshape(-1)[:n_cells],
+            inten.reshape(-1)[:n_cells])
+
+
 def heights_pallas(points: jnp.ndarray, cfg: Config = _default_cfg,
                    num_points: Optional[jnp.ndarray] = None,
                    interpret: Optional[bool] = None) -> jnp.ndarray:

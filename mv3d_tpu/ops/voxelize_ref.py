@@ -34,14 +34,19 @@ import numpy as np
 from ..config import Config, cfg as _default_cfg
 
 
-def crop_mask(points: np.ndarray, cfg: Config = _default_cfg) -> np.ndarray:
-    """Strict-inequality crop to the top-view bounds (src/data.py:298-311)."""
+def crop_mask(points: np.ndarray, cfg: Config = _default_cfg,
+              filter_center_car: bool = True) -> np.ndarray:
+    """Strict-inequality crop to the top-view bounds (src/data.py:298-311).
+
+    The center-car filter is a *top-view-only* step in the reference
+    (src/data.py:224-227); the front view crops to the grid bounds alone
+    (src/data.py:72-85), so front callers pass filter_center_car=False."""
     t = cfg.top
     x, y, z = points[:, 0], points[:, 1], points[:, 2]
     m = ((x > t.x_min) & (x < t.x_max) &
          (y > t.y_min) & (y < t.y_max) &
          (z > t.z_min) & (z < t.z_max))
-    if cfg.dataset_type in ("didi", "didi2", "test"):
+    if filter_center_car and cfg.dataset_type in ("didi", "didi2", "test"):
         # remove returns from the capture vehicle itself (src/data.py:224-227)
         m &= (np.abs(x) > 4.7 / 2) | (np.abs(y) > 2.1 / 2)
     return m
@@ -98,7 +103,7 @@ def lidar_to_top_np(points: np.ndarray, cfg: Config = _default_cfg) -> np.ndarra
 def lidar_to_front_np(points: np.ndarray, cfg: Config = _default_cfg) -> np.ndarray:
     """(N, 4) lidar -> (front.width, front.height, 3) front view, float32."""
     f = cfg.front
-    p = points[crop_mask(points, cfg)]
+    p = points[crop_mask(points, cfg, filter_center_car=False)]
 
     with np.errstate(invalid="ignore"):
         pc = (np.arctan2(p[:, 1], p[:, 0]) / f.angular_res).astype(np.int32)

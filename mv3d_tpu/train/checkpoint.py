@@ -1,4 +1,4 @@
-"""Per-subnet orbax checkpointing.
+"""Per-subnet checkpointing (compressed-npz flat dicts).
 
 TPU-native equivalent of the reference's per-scope ``tf.train.Saver`` wrapper
 ``Net`` (reference src/mv3d.py:117-161): each subnet

@@ -185,16 +185,19 @@ class Trainer(MV3D):
                  pre_trained_weights: Sequence[str] = (),
                  train_targets: Sequence[str] = SUBNET_NAMES,
                  cfg: Config = _default_cfg, log_tag: str = "default",
-                 continue_train: bool = False, batch_size: int = 1,
+                 continue_train: bool = False,
                  lr: float = None, checkpoint_dir: str = "checkpoint",
                  log_dir: str = "log", seed: int = 0):
+        # NOTE: real batching replaces the reference's "mimic batch size"
+        # host-side loss accumulation (mv3d.py:1063-1065): the loader's
+        # batch_size IS the optimization batch because the whole step is one
+        # jit'd program. No separate Trainer-side knob exists.
         super().__init__(cfg, log_tag=log_tag, checkpoint_dir=checkpoint_dir,
                          log_dir=log_dir, seed=seed)
         assert train_targets, "train_targets must be non-empty"
         self.train_set = train_set
         self.validation_set = validation_set
         self.train_targets = tuple(train_targets)
-        self.batch_size = batch_size
         lr = cfg.train.lr if lr is None else lr
 
         # staged training: adam on target subnets, frozen elsewhere

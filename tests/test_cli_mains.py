@@ -1,0 +1,173 @@
+"""argparse entry-point coverage: the four CLI mains driven end-to-end over a
+synthetic KITTI-object fixture on the tiny config (VERDICT r1 item 5; the
+reference's analogous surface is src/train.py:14-139 / src/test.py:184-221 /
+src/tracking.py:107-203 / src/data.py:839-914)."""
+
+import json
+import math
+import os
+
+import numpy as np
+import pytest
+
+from test_model import CFG
+
+N_FRAMES = 4
+
+# dotted-config override file reproducing tests.test_model.tiny_config()
+TINY_OVERRIDES = {
+    "top": {"x_max": 16.0, "y_min": -6.0, "y_max": 6.0,
+            "x_div": 0.2, "y_div": 0.2},
+    "front": {"width": 64, "height": 32},
+    "rpn": {"nms_pre_topn": 200, "nms_post_topn": 16},
+    "rcnn": {"batch_size": 32},
+    "pipeline": {"max_points": 2048, "max_gt": 8},
+    "image_width": 96, "image_height": 64,
+}
+
+
+def test_config_file_reproduces_tiny_config(tmp_path):
+    """--config file plumbing: the JSON override file used by the CLI tests
+    resolves to exactly the tiny config the model tests run on."""
+    from mv3d_tpu.cli.common import resolve_config
+    from mv3d_tpu.cli.train import parse_args
+
+    path = tmp_path / "tiny.json"
+    path.write_text(json.dumps(TINY_OVERRIDES))
+    args = parse_args(["--kitti-object", "x", "--config", str(path)])
+    assert resolve_config(args) == CFG
+
+    # --set overrides stack on top (cfg_from_list parity)
+    args = parse_args(["--kitti-object", "x", "--config", str(path),
+                       "--set", "rpn.nms_thresh", "0.4"])
+    got = resolve_config(args)
+    assert got.rpn.nms_thresh == pytest.approx(0.4)
+
+
+@pytest.fixture(scope="module")
+def kitti_object_root(tmp_path_factory):
+    """Synthetic KITTI object dataset: velodyne .bin + label_2 txt +
+    image_2 png + split file + tiny-config json."""
+    from PIL import Image
+
+    from mv3d_tpu.ops import boxes3d as b3
+
+    root = tmp_path_factory.mktemp("kitti_object")
+    base = root / "training"
+    for sub in ("velodyne", "image_2", "label_2"):
+        (base / sub).mkdir(parents=True)
+
+    rng = np.random.RandomState(7)
+    tags = []
+    for i in range(N_FRAMES):
+        tag = f"{i:06d}"
+        tags.append(tag)
+        pts = np.stack([rng.uniform(0, 16, 3000), rng.uniform(-6, 6, 3000),
+                        rng.uniform(-4, 0.8, 3000), rng.uniform(0, 1, 3000)],
+                       1).astype(np.float32)
+        # densify around the gt box so the empty-anchor filter keeps it
+        pts[:400, 0] = rng.uniform(6, 10, 400)
+        pts[:400, 1] = rng.uniform(-1.5, 1.5, 400)
+        pts[:400, 2] = rng.uniform(-2.0, -0.5, 400)
+        pts.tofile(base / "velodyne" / f"{tag}.bin")
+        Image.fromarray(
+            (rng.rand(64, 96, 3) * 255).astype(np.uint8)).save(
+            base / "image_2" / f"{tag}.png")
+
+        # one Car at lidar (8, y_i, -1.5): write the label in camera coords
+        # exactly as kitti_label_to_lidar_box3d expects to invert them
+        rz = 0.1 * i
+        ry = -rz - math.pi / 2
+        cam = np.asarray(b3.lidar_to_camera_points(
+            np.array([[8.0, -1.0 + 0.5 * i, -1.5]], np.float32), CFG))[0]
+        line = ("Car 0.0 0 0.0 0 0 50 50 "
+                f"1.5 1.6 4.0 {cam[0]:.4f} {cam[1]:.4f} {cam[2]:.4f} {ry:.4f}")
+        (base / "label_2" / f"{tag}.txt").write_text(line + "\n")
+
+    (root / "train.txt").write_text("\n".join(tags) + "\n")
+    (root / "tiny.json").write_text(json.dumps(TINY_OVERRIDES))
+    return str(root)
+
+
+def test_preprocess_main(kitti_object_root, tmp_path, capsys):
+    """cli/preprocess.py main: object layout -> reference dump layout."""
+    from mv3d_tpu.cli.preprocess import main
+
+    out = str(tmp_path / "pre")
+    main(["--kitti-object", kitti_object_root, "-o", out, "-b", "2",
+          "--config", os.path.join(kitti_object_root, "tiny.json")])
+    assert "preprocessed 4 frames" in capsys.readouterr().out
+    # reference layout: top/*.npy.npz (key top_view) + gt dirs (README.md:73-95)
+    tops = sorted(os.listdir(os.path.join(out, "top")))
+    assert len(tops) == N_FRAMES
+    with np.load(os.path.join(out, "top", tops[0])) as z:
+        assert z["top_view"].shape == CFG.top_shape
+    assert len(os.listdir(os.path.join(out, "gt_boxes3d"))) == N_FRAMES
+
+
+@pytest.mark.slow
+def test_train_test_tracking_mains(kitti_object_root, tmp_path, capsys):
+    """train main (3 iters) -> test main (test_single_mv3d + export_kitti)
+    -> tracking main over a synthetic raw drive, all through argparse."""
+    from mv3d_tpu.cli import test as test_cli
+    from mv3d_tpu.cli import tracking as tracking_cli
+    from mv3d_tpu.cli import train as train_cli
+
+    cfgfile = os.path.join(kitti_object_root, "tiny.json")
+    ckpt = str(tmp_path / "ckpt")
+    log = str(tmp_path / "log")
+    split = os.path.join(kitti_object_root, "train.txt")
+
+    train_cli.main(["-n", "clitag", "-i", "3", "--kitti-object",
+                    kitti_object_root, "--train-split", split,
+                    "--checkpoint-dir", ckpt, "--log-dir", log,
+                    "--config", cfgfile])
+    for sub in ("top_view_rpn", "image_feature", "front_feature", "fusion"):
+        assert os.listdir(os.path.join(ckpt, "clitag", sub)), sub
+
+    out = str(tmp_path / "test_out")
+    test_cli.main(["test_single_mv3d", "-n", "clitag",
+                   "--kitti-object", kitti_object_root,
+                   "--out-dir", out, "--checkpoint-dir", ckpt,
+                   "--score-threshold", "0.0", "--config", cfgfile])
+    assert os.path.exists(os.path.join(out, "000000_boxes3d.npy"))
+
+    out_k = str(tmp_path / "kitti_out")
+    test_cli.main(["export_kitti", "-n", "clitag",
+                   "--kitti-object", kitti_object_root, "--limit", "2",
+                   "--out-dir", out_k, "--checkpoint-dir", ckpt,
+                   "--score-threshold", "0.0", "--config", cfgfile])
+    txts = [f for f in os.listdir(out_k) if f.endswith(".txt")]
+    assert len(txts) == 2
+
+    # synthetic raw drive for the tracking main
+    from PIL import Image
+
+    from mv3d_tpu.data import tracklets
+
+    base = tmp_path / "raw" / "2011_09_26" / "2011_09_26_drive_0005_sync"
+    os.makedirs(base / "velodyne_points" / "data")
+    os.makedirs(base / "image_02" / "data")
+    rng = np.random.RandomState(0)
+    for i in range(2):
+        pts = np.stack([rng.uniform(0, 16, 3000), rng.uniform(-6, 6, 3000),
+                        rng.uniform(-4, 0.8, 3000), rng.uniform(0, 1, 3000)],
+                       1).astype(np.float32)
+        pts.tofile(base / "velodyne_points" / "data" / f"{i:010d}.bin")
+        Image.fromarray(np.zeros((64, 96, 3), np.uint8)).save(
+            base / "image_02" / "data" / f"{i:010d}.png")
+    t = tracklets.Tracklet("Car", 1.5, 1.6, 4.0, first_frame=0)
+    for i in range(2):
+        t.poses.append({"tx": 8.0, "ty": 1.0, "tz": -1.5,
+                        "rx": 0.0, "ry": 0.0, "rz": 0.2})
+    tracklets.write_tracklets(str(base / "tracklet_labels.xml"), [t])
+
+    pred = str(tmp_path / "pred")
+    tracking_cli.main(["-n", "clitag", "--kitti-raw", str(tmp_path / "raw"),
+                       "--date", "2011_09_26", "--drive", "0005",
+                       "--out-dir", pred, "--checkpoint-dir", ckpt,
+                       "--score-threshold", "0.0", "--eval",
+                       "--config", cfgfile])
+    xml = os.path.join(pred, "2011_09_26_0005", "tracklet_labels_pred.xml")
+    assert os.path.exists(xml)
+    assert "wrote" in capsys.readouterr().out

@@ -196,6 +196,15 @@ def test_didi_center_car_filter(rng):
     # the center cells are occupied without the filter, empty with it
     assert got_k.sum() > got.sum()
 
+    # the *front* view never applies the filter (reference crops the front
+    # path to the grid bounds alone, src/data.py:72-85): didi == kitti
+    front_didi = np.asarray(voxelize.lidar_to_front(padded, didi))
+    front_kitti = np.asarray(voxelize.lidar_to_front(padded, kitti_like))
+    np.testing.assert_array_equal(front_didi, front_kitti)
+    np.testing.assert_allclose(
+        front_didi, voxelize_ref.lidar_to_front_np(pts, didi),
+        rtol=0, atol=5e-5)
+
 
 def test_pallas_heights_kernel_parity(rng):
     """The Pallas sorted-segment scatter kernel (interpret mode on CPU) is
@@ -213,3 +222,29 @@ def test_pallas_heights_kernel_parity(rng):
     full = np.asarray(voxelize.lidar_to_top(padded, pcfg))
     want_full = voxelize_ref.lidar_to_top_np(pts, SMALL)
     np.testing.assert_allclose(full, want_full, rtol=0, atol=5e-5)
+
+
+def test_pallas_fused_kernel_parity(rng):
+    """The fused sweep (heights + intensity + density in one Pallas kernel,
+    interpret mode on CPU) is bit-identical to the numpy oracle, including
+    the boundary-redirect and first-max-point intensity tie semantics."""
+    pts = make_cloud(rng, 4000, SMALL)
+    # force slice-boundary-exact points to exercise the redirect
+    t = SMALL.top
+    pts[:32, 2] = t.z_min + t.z_div * rng.randint(1, t.zn, 32)
+    # duplicate positions with DIFFERENT reflectance (ties on qz within a
+    # cell): the first-in-scan-order point must win the intensity channel
+    pts[32:48, :3] = pts[:16, :3]
+    pts[32:48, 3] = pts[:16, 3] * 0.5 + 0.25
+    padded, _ = voxelize.pad_points(pts, 8192)
+
+    fcfg = dataclasses.replace(SMALL, pipeline=dataclasses.replace(
+        SMALL.pipeline, use_pallas_fused=True))
+    got = np.asarray(voxelize.lidar_to_top(padded, fcfg))
+    want = voxelize_ref.lidar_to_top_np(pts, SMALL)
+    np.testing.assert_allclose(got, want, rtol=0, atol=5e-5)
+
+    # batched path
+    got_b = np.asarray(voxelize.lidar_to_top_batch(
+        np.stack([padded, padded]), fcfg))
+    np.testing.assert_allclose(got_b[1], want, rtol=0, atol=5e-5)
