@@ -7,14 +7,27 @@ Prints ONE JSON line:
 The denominator is the BASELINE.md target envelope (>=100 fps lidar->boxes on
 one v5e for the full fusion pipeline); the reference itself publishes no
 numbers (BASELINE.md) and its TF-1/CUDA stack cannot run here. vs_baseline > 1
-means the target is beaten. Supplementary measurements (voxelizer throughput,
-CPU-oracle speedup) go to stderr.
+means the target is beaten. Supplementary measurements go to stderr.
+
+Configurations measured (every number is a measured steady-state wall time —
+nothing is asserted from overlap arithmetic):
+
+  pure-device   all 27 BEV channels + front + net + NMS in ONE XLA program
+                (fused Pallas voxelizer sweep); inputs device-resident.
+                This is the headline.
+  streaming     the real BatchLoader prefetch thread computes the 2 aux BEV
+                channels on the host (native C++) while the device runs the
+                25 height channels + net; includes host->device transfers of
+                every batch. Reported for the serving story; on this bench
+                host the TPU sits behind a network relay, so transfer cost
+                is an upper bound vs a real PCIe-attached host.
 
 Measurement notes: the axon remote relay caches executions with identical
 inputs and adds per-dispatch latency, so we (a) cycle through distinct input
 batches and (b) enqueue the whole run before blocking once.
 """
 
+import dataclasses
 import json
 import os
 import sys
@@ -26,6 +39,7 @@ BATCH = int(os.environ.get("BENCH_BATCH", "8"))
 N_WARM = 2
 N_MEAS = 12
 N_DISTINCT = 6
+V5E_BF16_PEAK = 197e12      # TPU v5e: 197 TFLOP/s bf16
 
 
 def log(*a):
@@ -40,15 +54,16 @@ def main():
     from mv3d_tpu.models.mv3d_net import MV3DNet
     from mv3d_tpu.ops import voxelize, voxelize_ref
 
-    import dataclasses
+    on_tpu = jax.default_backend() != "cpu"
     cfg = kitti_config()
-    if jax.default_backend() != "cpu":
-        # Pallas height-scatter kernel (compiled path only)
+    if on_tpu:
+        # Pallas kernels (compiled path only): fused sweep for pure-device,
+        # height-only kernel for the hybrid/streaming path
         cfg = dataclasses.replace(cfg, pipeline=dataclasses.replace(
-            cfg.pipeline, use_pallas_heights=True))
+            cfg.pipeline, use_pallas_fused=True, use_pallas_heights=True))
     model = MV3DNet(cfg)
     log(f"devices: {jax.devices()}  batch={BATCH} "
-        f"pallas_heights={cfg.pipeline.use_pallas_heights}")
+        f"pallas_fused={cfg.pipeline.use_pallas_fused}")
 
     t0 = time.time()
     variables = jax.jit(model.init_variables)(jax.random.PRNGKey(0))
@@ -70,27 +85,7 @@ def main():
         rng.rand(BATCH, *cfg.rgb_shape).astype(np.float32)))
         for _ in range(N_DISTINCT)]
 
-    # host aux channels (the prefetch loader's native C++ pass) — timed here,
-    # under the loader's real conditions (host otherwise idle)
-    from mv3d_tpu import native
-    auxes = aux_dt = None
-    if native.available():
-        aux_np = []
-        per_frame = []
-        for bn in host_clouds:
-            frames = []
-            for i in range(BATCH):
-                t0 = time.time()
-                frames.append(native.lidar_to_top_aux(bn[i], cfg))
-                per_frame.append(time.time() - t0)
-            aux_np.append(np.stack(frames))
-        # this host's CPU is shared/noisy: the minimum isolates the actual
-        # compute cost from scheduler noise (mean reported for transparency)
-        aux_dt = float(np.min(per_frame))
-        log(f"host aux (C++ single thread): min {aux_dt*1000:.2f} / "
-            f"mean {np.mean(per_frame)*1000:.2f} ms/frame")
-        auxes = [jax.device_put(jnp.asarray(a)) for a in aux_np]
-
+    # ---- pure-device: one XLA program, device-resident inputs --------------
     def full(variables, points, rgb):
         top = voxelize.lidar_to_top_batch(points, cfg)
         front = voxelize.lidar_to_front_batch(points, cfg)
@@ -104,7 +99,6 @@ def main():
     jax.block_until_ready(out)
     log(f"compile: {time.time()-t0:.1f}s")
 
-    # warmup across distinct inputs
     for i in range(N_WARM * N_DISTINCT):
         out = f(variables, batches[i % N_DISTINCT], rgbs[i % N_DISTINCT])
     jax.block_until_ready(out)
@@ -120,66 +114,91 @@ def main():
     log(f"e2e pure-device: {dt*1000:.2f} ms/step ({dt/BATCH*1000:.2f} "
         f"ms/frame) = {fps:.1f} frames/sec")
 
-    # production serving config: the prefetch loader's native C++ pass
-    # computes the 2 aux BEV channels on the host (overlapped with device
-    # compute); the device does the 25 height channels + the network
-    if auxes is not None:
+    # MFU: XLA's own FLOP count for the full program / measured time / peak
+    from mv3d_tpu.utils.macs import flops_of
+    fl = flops_of(full, variables, batches[0], rgbs[0])
+    if fl:
+        mfu = fl / BATCH / (dt / BATCH) / V5E_BF16_PEAK
+        log(f"compiled flops: {fl/BATCH/1e9:.2f} GFLOP/frame -> "
+            f"MFU {mfu*100:.1f}% of v5e bf16 peak "
+            f"(detection is scatter/vector-bound, not MXU-bound)")
 
-        def full_hybrid(variables, points, rgb, aux):
-            top = voxelize.lidar_to_top_batch(points, cfg, aux=aux)
-            front = voxelize.lidar_to_front_batch(points, cfg)
+    # ---- streaming: real BatchLoader thread feeds the device ---------------
+    from mv3d_tpu import native
+    if native.available():
+        from mv3d_tpu.data.kitti import Frame
+        from mv3d_tpu.data.loader import BatchLoader
+
+        class SynthDataset:
+            """In-memory synthetic drive (raw-sized clouds, uint8 images)."""
+
+            def __init__(self, n):
+                r = np.random.RandomState(1)
+                self.clouds = [np.stack([
+                    r.uniform(-10, 90, 110000), r.uniform(-40, 40, 110000),
+                    r.uniform(-4.5, 1.2, 110000), r.uniform(0, 1, 110000)],
+                    1).astype(np.float32) for _ in range(n)]
+                h, w, _ = cfg.rgb_shape
+                self.rgb = [(r.rand(h, w, 3) * 255).astype(np.uint8)
+                            for _ in range(n)]
+
+            def __len__(self):
+                return len(self.clouds)
+
+            def load_frame(self, i):
+                return Frame(tag=f"{i:05d}", points=self.clouds[i],
+                             rgb=self.rgb[i],
+                             gt_boxes3d=np.zeros((0, 8, 3), np.float32),
+                             gt_labels=np.zeros(0, np.int32))
+
+        # minimal-transfer serving program: f32 points + uint8 rgb cross the
+        # link; every BEV/front channel is computed on-device (fused kernel)
+        def full_stream(variables, points, num_points, rgb_u8):
+            top = voxelize.lidar_to_top_batch(points, cfg, num_points)
+            front = voxelize.lidar_to_front_batch(points, cfg, num_points)
+            rgb = rgb_u8.astype(jnp.float32)
             dets, _ = model.forward_inference(variables, top, rgb, front,
                                               score_threshold=0.05)
             return dets.boxes3d, dets.probs, dets.mask
 
-        fh = jax.jit(full_hybrid)
-        out = fh(variables, batches[0], rgbs[0], auxes[0])
-        jax.block_until_ready(out)
-        for i in range(N_WARM * N_DISTINCT):
-            out = fh(variables, batches[i % N_DISTINCT],
-                     rgbs[i % N_DISTINCT], auxes[i % N_DISTINCT])
-        jax.block_until_ready(out)
-        t0 = time.time()
-        outs = []
-        for i in range(N_MEAS):
-            outs.append(fh(variables, batches[i % N_DISTINCT],
-                           rgbs[i % N_DISTINCT], auxes[i % N_DISTINCT]))
-        jax.block_until_ready(outs)
-        dt_h = (time.time() - t0) / N_MEAS
-        fps_h = BATCH / dt_h
-        log(f"e2e hybrid (host aux in loader): {dt_h*1000:.2f} ms/step "
-            f"({dt_h/BATCH*1000:.2f} ms/frame) = {fps_h:.1f} frames/sec")
-        # throughput is device-bound as long as the loader keeps up; the
-        # single-thread C++ pass already roughly matches the device step and
-        # loaders parallelize trivially across prefetch workers
-        if fps_h > fps and aux_dt < 0.05:
-            fps = fps_h
+        fh = jax.jit(full_stream)
+        ds = SynthDataset(N_DISTINCT * BATCH)
+        step_bytes = BATCH * (n_pts * 16 + 4 +
+                              int(np.prod(cfg.rgb_shape)))
 
-    # pipelined serving mode: voxelize frame i+1 overlapped with detecting
-    # frame i in one program (one extra frame of latency)
-    step, init_views = model.make_pipelined_infer(score_threshold=0.05)
-    stepj = jax.jit(step)
-    views = jax.jit(init_views)(batches[0], rgbs[0])
-    out = stepj(variables, batches[1], rgbs[1], views)
-    jax.block_until_ready(out)
-    views = out[0]
-    for i in range(N_WARM * N_DISTINCT):
-        views, dets = stepj(variables, batches[i % N_DISTINCT],
-                            rgbs[i % N_DISTINCT], views)
-    jax.block_until_ready(views)
-    t0 = time.time()
-    for i in range(N_MEAS):
-        views, dets = stepj(variables, batches[i % N_DISTINCT],
-                            rgbs[i % N_DISTINCT], views)
-    jax.block_until_ready((views, dets))
-    dt_p = (time.time() - t0) / N_MEAS
-    fps_p = BATCH / dt_p
-    log(f"pipelined: {dt_p*1000:.2f} ms/step ({dt_p/BATCH*1000:.2f} ms/frame) "
-        f"= {fps_p:.1f} frames/sec")
-    if fps_p > fps:
-        fps = fps_p
+        def stream(n_steps, loader):
+            outs = []
+            for _ in range(n_steps):
+                b = loader.load()
+                outs.append(fh(variables,
+                               jax.device_put(jnp.asarray(b["points"])),
+                               jax.device_put(jnp.asarray(b["num_points"])),
+                               jax.device_put(jnp.asarray(
+                                   b["rgb"].astype(np.uint8)))))
+                if len(outs) > 4:
+                    outs.pop(0)
+            jax.block_until_ready(outs)
 
-    # supplementary: voxelizer TPU throughput + CPU-oracle comparison
+        # loader does crop+pad only — aux channels are on-device here
+        lcfg = dataclasses.replace(cfg, pipeline=dataclasses.replace(
+            cfg.pipeline, host_aux_channels=False))
+        with BatchLoader(ds, lcfg, batch_size=BATCH, prefetch=4,
+                         seed=3) as loader:
+            stream(2, loader)                     # compile + warm
+            stream(N_DISTINCT, loader)
+            t0 = time.time()
+            stream(N_MEAS, loader)
+            dt_s = (time.time() - t0) / N_MEAS
+        fps_s = BATCH / dt_s
+        bw = step_bytes / dt_s / 1e6
+        log(f"e2e streaming (BatchLoader thread feeding the device, incl. "
+            f"host->device transfer of {step_bytes/1e6:.1f} MB/step): "
+            f"{dt_s*1000:.2f} ms/step ({dt_s/BATCH*1000:.2f} ms/frame) = "
+            f"{fps_s:.1f} frames/sec  [effective link {bw:.0f} MB/s — on "
+            f"this bench host the chip sits behind a network relay; a "
+            f"PCIe-attached host moves the same bytes in <1 ms]")
+
+    # ---- supplementary: voxelizer throughput + CPU-oracle comparison -------
     vox = jax.jit(lambda p: voxelize.lidar_to_top_batch(p, cfg))
     vox(batches[0]).block_until_ready()
     t0 = time.time()

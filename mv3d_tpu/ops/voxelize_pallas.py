@@ -113,8 +113,8 @@ def scatter_max_sorted(flat: jnp.ndarray, val: jnp.ndarray, n_flat: int,
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
         grid=(n_tiles,),
-        in_specs=[pl.BlockSpec(memory_space=pltpu.ANY),
-                  pl.BlockSpec(memory_space=pltpu.ANY)],
+        in_specs=[pl.BlockSpec(memory_space=pl.ANY),
+                  pl.BlockSpec(memory_space=pl.ANY)],
         out_specs=pl.BlockSpec((_TILE // (_SUB * _LANES), _SUB, _LANES),
                                lambda i, *_: (i, 0, 0),
                                memory_space=pltpu.VMEM),
@@ -132,6 +132,76 @@ def scatter_max_sorted(flat: jnp.ndarray, val: jnp.ndarray, n_flat: int,
         interpret=interpret,
     )(starts, sflat, sval)
     return out.reshape(-1)[:n_flat]
+
+
+# ---------------------------------------------------------------------------
+# tile binning without a sort
+# ---------------------------------------------------------------------------
+
+def bin_points_by_tile(flat: jnp.ndarray, payloads, tile_span: int,
+                       n_tiles: int, sentinel: int):
+    """Stable counting-permutation of points into tile buckets.
+
+    MEASURED RESULT (round 2, v5e, e2e): SLOWER than ``jax.lax.sort`` — the
+    sort costs 3.6 ms/frame, but this permutation's *placement* step (one
+    65k-element permutation scatter + gathers, or three scatters) hits the
+    same per-element serialization that makes TPU scatters slow in the first
+    place (sort-mode e2e 101.6 fps vs 90.0/80.6 fps for the two placement
+    variants). Kept as a correct, tested alternative (pipeline.voxel_order =
+    "bin") and as documentation of the dead end; a VMEM-resident Pallas
+    bitonic sorter is the remaining path to beating lax.sort
+    (docs/PALLAS_NOTES.md roadmap).
+
+    Why grouping is sufficient (no full sort needed): the sweep kernel only
+    needs points GROUPED by output tile, and within a bucket the scan's
+    strict-``>`` maximum is order-independent while ties resolve to the first
+    point in *encounter* order — which this permutation keeps equal to the
+    original point order, preserving the reference's first-max-point
+    intensity semantics (src/data.py:355-356).
+
+    Mechanics (all vectorized, MXU for the rank matmul):
+      1. bucket = flat // tile_span (entries with flat >= n_tiles*tile_span,
+         i.e. the padding sentinel, go to a trailing dump bucket);
+      2. per-128-point-chunk histograms + exclusive scan -> chunk offsets;
+      3. rank within chunk via a strict-lower-triangular one-hot matmul;
+      4. position = bucket offset + chunk prefix + in-chunk rank — a
+         permutation, placed with three unique-index scatters.
+
+    Returns (binned arrays [flat first, then payloads], starts (n_tiles+1,)).
+    """
+    n = flat.shape[0]
+    chunk = 128
+    assert n % chunk == 0, n
+    nb = n_tiles + 1
+    nb_pad = -(-nb // 128) * 128
+
+    bucket = jnp.minimum(flat // tile_span, n_tiles)
+    onehot = (bucket[:, None] == jnp.arange(nb_pad, dtype=jnp.int32)[None, :])
+    oh = onehot.reshape(n // chunk, chunk, nb_pad).astype(jnp.float32)
+    chunk_hist = jnp.sum(oh, axis=1)                            # (C, nb_pad)
+    chunk_prefix = jnp.cumsum(chunk_hist, axis=0) - chunk_hist  # exclusive
+    counts = jnp.sum(chunk_hist, axis=0)                        # (nb_pad,)
+    offsets = jnp.cumsum(counts) - counts                       # exclusive
+
+    tril = jnp.tril(jnp.ones((chunk, chunk), jnp.float32), k=-1)
+    rank_in_chunk = jax.lax.dot_general(
+        tril, oh, ((( 1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32)                     # (chunk, C, nb_pad)
+    rank_in_chunk = jnp.transpose(rank_in_chunk, (1, 0, 2))
+    rank = rank_in_chunk + chunk_prefix[:, None, :]
+    pos_in_bucket = jnp.sum(rank * oh, axis=-1).reshape(n)      # one-hot select
+    position = (offsets[bucket] + pos_in_bucket).astype(jnp.int32)
+
+    # callers route invalid points to flat == sentinel (>= n_tiles*tile_span)
+    # beforehand, so the dump bucket's contents already carry the sentinel.
+    # ONE permutation scatter (the source index), then vectorized gathers for
+    # the data arrays — TPU scatters serialize per element, gathers don't.
+    del sentinel
+    sidx = jnp.zeros(n, jnp.int32).at[position].set(
+        jnp.arange(n, dtype=jnp.int32), unique_indices=True)
+    binned = [arr[sidx] for arr in (flat, *payloads)]
+    starts = offsets[:n_tiles + 1].astype(jnp.int32)
+    return binned, starts
 
 
 # ---------------------------------------------------------------------------
@@ -214,7 +284,8 @@ def _fused_kernel(starts_ref, flat_ref, hval_ref, refl_ref,
 
 def scatter_top_fused(flat: jnp.ndarray, hval: jnp.ndarray,
                       refl: jnp.ndarray, n_cells: int, zn: int,
-                      interpret: Optional[bool] = None
+                      interpret: Optional[bool] = None,
+                      order: str = "bin"
                       ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
     """One sorted sweep -> (heights (n_cells*zn,), count (n_cells,),
     intensity (n_cells,)).
@@ -238,21 +309,37 @@ def scatter_top_fused(flat: jnp.ndarray, hval: jnp.ndarray,
     c_blocks = _CT // blk                 # blocks per cell tile
 
     flat = jnp.where(flat >= n_flat, n_flat_pad, flat.astype(jnp.int32))
-    sflat, shval, srefl = jax.lax.sort(
-        (flat, hval.astype(jnp.float32), refl.astype(jnp.float32)),
-        num_keys=1)
+    if order == "bin":
+        # grouping by tile is enough for the sweep (see bin_points_by_tile);
+        # measured slower than sorting on v5e — kept as a tested alternative
+        (sflat, shval, srefl), starts = bin_points_by_tile(
+            flat, (hval.astype(jnp.float32), refl.astype(jnp.float32)),
+            _CT * zn, n_tiles, n_flat_pad)
+    else:
+        if order == "pallas-sort" and (n & (n - 1)) == 0 and n >= 256:
+            from .sort_pallas import bitonic_sort_pallas
+            sflat, shval, srefl = bitonic_sort_pallas(
+                flat, (hval.astype(jnp.float32), refl.astype(jnp.float32)),
+                interpret=interpret)
+        elif order == "bitonic" and (n & (n - 1)) == 0:
+            from .sort import bitonic_sort_stable
+            sflat, shval, srefl = bitonic_sort_stable(
+                flat, (hval.astype(jnp.float32), refl.astype(jnp.float32)))
+        else:
+            sflat, shval, srefl = jax.lax.sort(
+                (flat, hval.astype(jnp.float32), refl.astype(jnp.float32)),
+                num_keys=1)
+        bounds = jnp.arange(n_tiles + 1, dtype=jnp.int32) * (_CT * zn)
+        starts = jnp.searchsorted(sflat[:n], bounds).astype(jnp.int32)
     sflat = jnp.concatenate([sflat, jnp.full((_MAX_W,), n_flat_pad, jnp.int32)])
     shval = jnp.concatenate([shval, jnp.zeros((_MAX_W,), jnp.float32)])
     srefl = jnp.concatenate([srefl, jnp.zeros((_MAX_W,), jnp.float32)])
-
-    bounds = jnp.arange(n_tiles + 1, dtype=jnp.int32) * (_CT * zn)
-    starts = jnp.searchsorted(sflat[:n], bounds).astype(jnp.int32)
     n_chunks = -(-n // _MAX_W) + 1
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
         grid=(n_tiles,),
-        in_specs=[pl.BlockSpec(memory_space=pltpu.ANY)] * 3,
+        in_specs=[pl.BlockSpec(memory_space=pl.ANY)] * 3,
         out_specs=[
             pl.BlockSpec((h_blocks, _SUB, _LANES), lambda i, *_: (i, 0, 0),
                          memory_space=pltpu.VMEM),

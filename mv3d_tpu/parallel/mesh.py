@@ -16,7 +16,10 @@ expressed the TPU-native way:
 
 Multi-host: call ``jax.distributed.initialize()`` before building the mesh and
 feed each process its local shard via
-``jax.make_array_from_process_local_data`` — nothing else changes.
+``jax.make_array_from_process_local_data`` — nothing else changes. This recipe
+is executed for real (2 OS processes, 8-device global mesh, Gloo collectives)
+in ``tests/test_distributed.py``; sharded checkpointing for it is the orbax
+backend of ``train/checkpoint.py``.
 """
 
 from __future__ import annotations

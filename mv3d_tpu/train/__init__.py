@@ -6,11 +6,13 @@ import (models.mv3d_net uses train.losses/train.targets).
 
 from . import checkpoint, losses, targets  # noqa: F401
 
-__all__ = ["checkpoint", "losses", "targets", "MV3D", "Predictor", "Trainer"]
+_LAZY = ("MV3D", "Predictor", "PredictorForTest", "Trainer", "TesterRPN",
+         "TesterRPNTarget", "Tester3DOP")
+__all__ = ["checkpoint", "losses", "targets", *_LAZY]
 
 
 def __getattr__(name):
-    if name in ("MV3D", "Predictor", "Trainer"):
+    if name in _LAZY:
         from . import trainer
         return getattr(trainer, name)
     raise AttributeError(name)

@@ -1,4 +1,5 @@
-"""Per-subnet checkpointing (compressed-npz flat dicts).
+"""Per-subnet checkpointing: npz flat dicts (single-host, default) or orbax
+(sharded / multi-host arrays).
 
 TPU-native equivalent of the reference's per-scope ``tf.train.Saver`` wrapper
 ``Net`` (reference src/mv3d.py:117-161): each subnet
@@ -44,20 +45,36 @@ def _unflatten(flat: Dict[str, np.ndarray]):
 class SubnetCheckpointer:
     """Saves/restores one subnet's variables (params + batch_stats).
 
-    Uses compressed ``.npz`` flat-dict files — dependency-light, atomic via
-    rename, and structurally identical to what orbax would store for these
-    small (~10^7 param) subnets.
+    Two backends:
+      * ``npz`` (default): compressed flat-dict files — dependency-light,
+        atomic via rename, host-gathers arrays on save. Right for the
+        single-host case (the reference's own scope: one GPU, one Saver).
+      * ``orbax``: ``orbax.checkpoint`` directories — supports sharded/
+        multi-host arrays (every process calls save/restore collectively)
+        and restores with the shardings given by ``restore_target``.
     """
 
-    def __init__(self, name: str, checkpoint_dir: str):
+    def __init__(self, name: str, checkpoint_dir: str,
+                 backend: str = "npz"):
+        assert backend in ("npz", "orbax"), backend
         self.name = name
+        self.backend = backend
         self.dir = os.path.join(checkpoint_dir, name)
         os.makedirs(self.dir, exist_ok=True)
 
     def _path(self, step: int) -> str:
-        return os.path.join(self.dir, f"{self.name}-{step}.npz")
+        suffix = ".npz" if self.backend == "npz" else ".orbax"
+        return os.path.join(self.dir, f"{self.name}-{step}{suffix}")
 
     def save(self, variables, step: int = 0):
+        if self.backend == "orbax":
+            import orbax.checkpoint as ocp
+            with ocp.StandardCheckpointer() as ckptr:
+                # Checkpointer.save is atomic (tmp dir + rename) and handles
+                # sharded jax.Arrays collectively across processes
+                ckptr.save(os.path.abspath(self._path(step)), variables,
+                           force=True)
+            return
         flat = _flatten(jax.device_get(variables))
         tmp = self._path(step) + ".tmp"
         with open(tmp, "wb") as f:   # file object: savez won't append ".npz"
@@ -65,22 +82,39 @@ class SubnetCheckpointer:
         os.replace(tmp, self._path(step))
 
     def latest_step(self) -> Optional[int]:
+        suffix = ".npz" if self.backend == "npz" else ".orbax"
         steps = []
         for f in os.listdir(self.dir):
-            if f.startswith(self.name + "-") and f.endswith(".npz"):
+            if f.startswith(self.name + "-") and f.endswith(suffix):
                 try:
-                    steps.append(int(f[len(self.name) + 1:-4]))
+                    steps.append(int(f[len(self.name) + 1:-len(suffix)]))
                 except ValueError:
                     pass
         return max(steps) if steps else None
 
-    def load(self, step: Optional[int] = None):
+    def load(self, step: Optional[int] = None, restore_target=None):
         """Returns the stored variable tree, or None if no checkpoint exists
         (parity with the reference's use-default-weights fallback,
-        mv3d.py:142-148)."""
+        mv3d.py:142-148).
+
+        ``restore_target`` (orbax backend): a pytree of abstract arrays /
+        jax.Arrays whose shardings the restored arrays should take — pass the
+        live (possibly mesh-sharded) variables to restore distributed."""
         step = self.latest_step() if step is None else step
         if step is None or not os.path.exists(self._path(step)):
             return None
+        if self.backend == "orbax":
+            import orbax.checkpoint as ocp
+            target = None
+            if restore_target is not None:
+                target = jax.tree.map(
+                    lambda x: jax.ShapeDtypeStruct(
+                        x.shape, x.dtype, sharding=getattr(x, "sharding",
+                                                           None)),
+                    restore_target)
+            with ocp.StandardCheckpointer() as ckptr:
+                return ckptr.restore(os.path.abspath(self._path(step)),
+                                     target)
         with np.load(self._path(step)) as z:
             flat = {k: z[k] for k in z.files}
         return _unflatten(flat)

@@ -51,14 +51,15 @@ class MV3D:
 
     def __init__(self, cfg: Config = _default_cfg, log_tag: str = "default",
                  checkpoint_dir: str = "checkpoint", log_dir: str = "log",
-                 seed: int = 0):
+                 seed: int = 0, checkpoint_backend: str = "npz"):
         self.cfg = cfg
         self.model = MV3DNet(cfg)
         self.tag = log_tag
         self.log_dir = log_dir
         self.ckpt_dir = os.path.join(checkpoint_dir, log_tag)
         self.checkpointers = {
-            name: SubnetCheckpointer(name, self.ckpt_dir)
+            name: SubnetCheckpointer(name, self.ckpt_dir,
+                                     backend=checkpoint_backend)
             for name in SUBNET_NAMES}
         self.log = Logger(os.path.join(log_dir, "log.txt"))
         from ..utils.metrics import MetricsWriter
@@ -336,6 +337,174 @@ class Trainer(MV3D):
         self.save_weights(self.train_targets, self.n_global_step)
         save_progress(self.log_dir, self.tag, self.n_global_step)
         return last
+
+
+class PredictorForTest(MV3D):
+    """Diagnostic predictor: main detections plus the twin fusion heads
+    (with-RGB / without-RGB) NMS'd separately, with annotated image dumps.
+
+    Parity: reference ``Predictor_for_test`` (mv3d.py:693-720) +
+    ``predict_for_test`` (mv3d.py:332-395): after a call, ``probs_with_rgb``
+    / ``boxes3d_with_rgb`` / ``probs_without_rgb`` / ``boxes3d_without_rgb``
+    hold the per-head results and ``dump_log`` writes the debug images the
+    reference sent to TensorBoard.
+    """
+
+    def __init__(self, cfg: Config = _default_cfg, log_tag: str = "default",
+                 checkpoint_dir: str = "checkpoint", load: bool = True, **kw):
+        super().__init__(cfg, log_tag=log_tag, checkpoint_dir=checkpoint_dir,
+                         **kw)
+        if load:
+            self.load_weights()
+
+        from ..ops import boxes3d as box3d_ops
+        from ..ops.detect import rcnn_nms
+        from ..ops.proposal import rpn_proposals
+        model, config = self.model, self.cfg
+
+        def _predict3(variables, top, rgb, front, score_threshold):
+            outs, _ = model.extract_features(variables, top, rgb, front,
+                                             train=False)
+            rpn = outs["rpn"]
+            inside = model.anchor_mask(top[0])
+            props = rpn_proposals(rpn["scores"][0], rpn["deltas"][0],
+                                  model.anchors, inside, config)
+            rois3d = box3d_ops.top_box_to_box3d(props.rois[:, 1:5], config)
+            feats = {"top": rpn["features"][0]}
+            if "rgb_features" in outs:
+                feats["rgb"] = outs["rgb_features"][0]
+            if "front_features" in outs:
+                feats["front"] = outs["front_features"][0]
+            pooled = model.pool_rois(feats, rois3d, props.rois[:, 1:5])
+            fuse = model.fusion.apply(variables["fusion"], pooled, False)
+            dets = {}
+            for head in ("", "_with_rgb", "_without_rgb"):
+                if "probs" + head not in fuse:
+                    continue
+                deltas = fuse["deltas" + head].reshape(
+                    -1, config.model.num_class, 8, 3)
+                dets[head] = rcnn_nms(fuse["probs" + head], deltas, rois3d,
+                                      props.mask,
+                                      score_threshold=score_threshold,
+                                      cfg=config)
+            return dets, props
+
+        self._predict3 = jax.jit(_predict3)
+        self._last = None
+
+    def __call__(self, top_view, front_view, rgb_image,
+                 nms_threshold: Optional[float] = None, gt_boxes3d=None):
+        if nms_threshold is None:
+            nms_threshold = self.cfg.rcnn.score_threshold
+        top = jnp.asarray(top_view)
+        top = top[None] if top.ndim == 3 else top
+        rgb = jnp.asarray(rgb_image)
+        rgb = rgb[None] if rgb.ndim == 3 else rgb
+        front = jnp.asarray(front_view)
+        front = front[None] if front.ndim == 3 else front
+        dets, props = self._predict3(self.variables, top, rgb, front,
+                                     jnp.float32(nms_threshold))
+
+        def unpack(d):
+            m = np.asarray(d.mask)
+            return np.asarray(d.boxes3d)[m], np.asarray(d.probs)[m]
+
+        boxes3d, probs = unpack(dets[""])
+        for head in ("_with_rgb", "_without_rgb"):
+            b, p = unpack(dets[head]) if head in dets else (boxes3d, probs)
+            setattr(self, "boxes3d" + head, b)
+            setattr(self, "probs" + head, p)
+        pm = np.asarray(props.mask)
+        self._last = {
+            "top": np.asarray(top[0]), "rgb": np.asarray(rgb[0]),
+            "proposals": np.asarray(props.rois)[pm][:, 1:5],
+            "boxes3d": boxes3d,
+            "gt_boxes3d": (np.asarray(gt_boxes3d)
+                           if gt_boxes3d is not None else None),
+        }
+        return boxes3d, [], probs
+
+    def dump_log(self, log_subdir: str, n_frame: int) -> str:
+        """Write annotated BEV/camera pngs for the last prediction
+        (non-interactive replacement for the reference's TB image summaries,
+        mv3d.py:716-720)."""
+        assert self._last is not None, "call the predictor first"
+        from ..utils.metrics import dump_debug_images
+        out = os.path.join(self.log_dir, log_subdir)
+        return dump_debug_images(
+            out, n_frame, self._last["top"], rgb=self._last["rgb"],
+            gt_boxes3d=self._last["gt_boxes3d"],
+            det_boxes3d=self._last["boxes3d"],
+            proposals=self._last["proposals"], cfg=self.cfg)
+
+
+class TesterRPNTarget(MV3D):
+    """RPN target-assignment prober: sampled/positive anchor counts plus an
+    annotated anchor-label image.
+
+    Parity: reference ``Tester_RPN_Target`` (mv3d.py:1492-1548) — runs
+    ``rpn_target`` over ALL anchors (inside_inds = arange, mv3d.py:1530) and
+    reports ``anchors_details()``; the TB label/gt images become pngs.
+    """
+
+    def __init__(self, cfg: Config = _default_cfg, log_tag: str = "default",
+                 checkpoint_dir: str = "checkpoint", **kw):
+        super().__init__(cfg, log_tag=log_tag, checkpoint_dir=checkpoint_dir,
+                         **kw)
+        from ..ops import boxes3d as box3d_ops
+        from ..train import targets as target_lib
+        model, config = self.model, self.cfg
+
+        def _target(gt3d, gt_labels, gt_mask, key):
+            gt_top = box3d_ops.box3d_to_top_box(gt3d, config)
+            inside = jnp.ones(model.anchors.shape[0], bool)   # use all
+            return target_lib.rpn_target(model.anchors, inside, gt_top,
+                                         gt_labels, gt_mask, key, config)
+
+        self._target = jax.jit(_target)
+        self._last = None
+
+    def __call__(self, top_view, gt_boxes3d, gt_labels, seed: int = 0):
+        g = len(gt_boxes3d)
+        gt3d = jnp.asarray(gt_boxes3d, jnp.float32)
+        tg = self._target(gt3d, jnp.asarray(gt_labels, jnp.int32),
+                          jnp.ones(g, bool), jax.random.PRNGKey(seed))
+        top = np.asarray(top_view)
+        self._last = {"top": top[0] if top.ndim == 4 else top,
+                      "gt_boxes3d": np.asarray(gt_boxes3d),
+                      "cls_mask": np.asarray(tg.cls_mask),
+                      "labels": np.asarray(tg.labels),
+                      "pos_mask": np.asarray(tg.pos_mask)}
+        n_sampled = int(self._last["cls_mask"].sum())
+        n_pos = int(self._last["pos_mask"].sum())
+        return n_sampled, n_pos
+
+    def anchors_details(self) -> str:
+        return "anchors: positive= {} total= {}\n".format(
+            int(self._last["pos_mask"].sum()),
+            int(self._last["cls_mask"].sum()))
+
+    def dump_log(self, log_subdir: str, step: int = 0) -> str:
+        """Sampled anchors drawn over the BEV image: negatives gray,
+        positives blue, gt white (reference draw_rpn_labels/draw_rpn_gt)."""
+        assert self._last is not None, "call the tester first"
+        from PIL import Image
+
+        from ..utils import viz
+        anchors = np.asarray(self.model.anchors)
+        img = viz.draw_top_image(self._last["top"])
+        neg = self._last["cls_mask"] & ~self._last["pos_mask"]
+        img = viz.draw_boxes2d(img, anchors[neg], color=(128, 128, 128))
+        img = viz.draw_boxes2d(img, anchors[self._last["pos_mask"]],
+                               color=(0, 64, 255))
+        if len(self._last["gt_boxes3d"]):
+            img = viz.draw_box3d_on_top(img, self._last["gt_boxes3d"],
+                                        color=(255, 255, 255), cfg=self.cfg)
+        d = os.path.join(self.log_dir, log_subdir)
+        os.makedirs(d, exist_ok=True)
+        path = os.path.join(d, f"rpn_target_{step:06d}.png")
+        Image.fromarray(img).save(path)
+        return path
 
 
 class TesterRPN(MV3D):

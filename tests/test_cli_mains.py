@@ -105,6 +105,30 @@ def test_preprocess_main(kitti_object_root, tmp_path, capsys):
     assert len(os.listdir(os.path.join(out, "gt_boxes3d"))) == N_FRAMES
 
 
+def test_viewer_main(kitti_object_root, tmp_path, capsys):
+    """cli/viewer.py renders .bin scans and preprocessed top dumps to pngs
+    (replacement for the reference's PCL viewer + npy_converter)."""
+    from mv3d_tpu.cli.viewer import main
+
+    cfgfile = os.path.join(kitti_object_root, "tiny.json")
+    velo = os.path.join(kitti_object_root, "training", "velodyne")
+    out = str(tmp_path / "viz")
+    main([velo, "-o", out, "--limit", "2", "--config", cfgfile])
+    assert "rendered 4 images from 2 inputs" in capsys.readouterr().out
+    assert os.path.exists(os.path.join(out, "000000_top.png"))
+    assert os.path.exists(os.path.join(out, "000000_front.png"))
+
+    # converter mode: npz top dump -> png
+    from mv3d_tpu.ops import voxelize_ref
+    from mv3d_tpu.data.kitti import read_velodyne
+    top = voxelize_ref.lidar_to_top_np(
+        read_velodyne(os.path.join(velo, "000000.bin")), CFG)
+    npz = tmp_path / "00007.npy.npz"
+    np.savez_compressed(open(npz, "wb"), top_view=top)
+    main([str(npz), "-o", out, "--config", cfgfile])
+    assert os.path.exists(os.path.join(out, "00007_top.png"))
+
+
 @pytest.mark.slow
 def test_train_test_tracking_mains(kitti_object_root, tmp_path, capsys):
     """train main (3 iters) -> test main (test_single_mv3d + export_kitti)
@@ -171,3 +195,75 @@ def test_train_test_tracking_mains(kitti_object_root, tmp_path, capsys):
     xml = os.path.join(pred, "2011_09_26_0005", "tracklet_labels_pred.xml")
     assert os.path.exists(xml)
     assert "wrote" in capsys.readouterr().out
+
+
+@pytest.mark.slow
+def test_probe_subcommands(kitti_object_root, tmp_path):
+    """The diagnostic test.py subcommands (test_front / test_rpn_target /
+    probe_rpn / test_3dop) run end-to-end and write their artifacts."""
+    from mv3d_tpu.cli import test as test_cli
+    from mv3d_tpu.ops import boxes3d as b3
+
+    cfgfile = os.path.join(kitti_object_root, "tiny.json")
+    ckpt = str(tmp_path / "ckpt")
+    common = ["--kitti-object", kitti_object_root, "--limit", "1",
+              "--checkpoint-dir", ckpt, "--config", cfgfile]
+
+    out_f = str(tmp_path / "front")
+    test_cli.main(["test_front", "--out-dir", out_f] + common)
+    assert os.path.exists(os.path.join(out_f, "000000_front.npy"))
+    assert os.path.exists(os.path.join(out_f, "000000_front.png"))
+
+    out_t = str(tmp_path / "rpnt")
+    test_cli.main(["test_rpn_target", "--out-dir", out_t] + common)
+    assert os.path.exists(os.path.join(out_t, "rpn_target",
+                                       "rpn_target_000000.png"))
+
+    out_p = str(tmp_path / "probe")
+    test_cli.main(["probe_rpn", "--out-dir", out_p] + common)
+    assert os.path.exists(os.path.join(out_p, "000000", "top.png"))
+
+    # external proposals for test_3dop
+    prop = tmp_path / "props"
+    prop.mkdir()
+    roi = np.asarray(b3.box3d_compose([8.0, 0.0, -1.5], [1.5, 1.6, 4.0],
+                                      [0, 0, 0.1], CFG))[None]
+    np.save(prop / "000000_rois3d.npy", roi.astype(np.float32))
+    out_3 = str(tmp_path / "3dop")
+    test_cli.main(["test_3dop", "--out-dir", out_3, "--proposal-dir",
+                   str(prop), "--score-threshold", "0.0"] + common)
+    assert os.path.exists(os.path.join(out_3, "000000_boxes3d.npy"))
+
+
+@pytest.mark.slow
+def test_predictor_for_test_and_rpn_target_tester(tmp_path, rng):
+    """PredictorForTest exposes twin-head detections + debug dumps;
+    TesterRPNTarget reports anchor counts (ref mv3d.py:693, 1492)."""
+    import jax
+
+    from mv3d_tpu.ops import boxes3d as b3
+    from mv3d_tpu.train.trainer import PredictorForTest, TesterRPNTarget
+
+    p = PredictorForTest(CFG, log_tag="pft",
+                         checkpoint_dir=str(tmp_path / "ckpt"),
+                         log_dir=str(tmp_path / "log"))
+    top = rng.rand(*CFG.top_shape).astype(np.float32) * 0.2
+    rgb = rng.rand(*CFG.rgb_shape).astype(np.float32)
+    front = rng.rand(*CFG.front_shape).astype(np.float32)
+    gt = np.asarray(b3.box3d_compose([8.0, 0.0, -1.5], [1.5, 1.6, 4.0],
+                                     [0, 0, 0.2], CFG))[None]
+    boxes3d, labels, probs = p(top, front, rgb, nms_threshold=0.0,
+                               gt_boxes3d=gt)
+    assert p.boxes3d_with_rgb.shape[1:] == (8, 3)
+    assert p.boxes3d_without_rgb.shape[1:] == (8, 3)
+    d = p.dump_log("probe", 0)
+    assert os.path.exists(os.path.join(d, "top.png"))
+
+    t = TesterRPNTarget(CFG, log_tag="trt",
+                        checkpoint_dir=str(tmp_path / "ckpt"),
+                        log_dir=str(tmp_path / "log"))
+    n_sampled, n_pos = t(top, gt, np.asarray([1], np.int32))
+    assert n_sampled > 0 and n_pos > 0
+    assert "positive" in t.anchors_details()
+    path = t.dump_log("rpn_target")
+    assert os.path.exists(path)

@@ -9,6 +9,8 @@ import os
 import numpy as np
 import pytest
 
+pytestmark = pytest.mark.slow   # ~6 min cold: full train->eval integration
+
 from mv3d_tpu.cli.tracking import pred_and_save
 from mv3d_tpu.data import tracklets
 from mv3d_tpu.data.kitti import Frame

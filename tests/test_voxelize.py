@@ -238,13 +238,32 @@ def test_pallas_fused_kernel_parity(rng):
     pts[32:48, 3] = pts[:16, 3] * 0.5 + 0.25
     padded, _ = voxelize.pad_points(pts, 8192)
 
+    want = voxelize_ref.lidar_to_top_np(pts, SMALL)
     fcfg = dataclasses.replace(SMALL, pipeline=dataclasses.replace(
         SMALL.pipeline, use_pallas_fused=True))
     got = np.asarray(voxelize.lidar_to_top(padded, fcfg))
-    want = voxelize_ref.lidar_to_top_np(pts, SMALL)
     np.testing.assert_allclose(got, want, rtol=0, atol=5e-5)
 
     # batched path
     got_b = np.asarray(voxelize.lidar_to_top_batch(
         np.stack([padded, padded]), fcfg))
     np.testing.assert_allclose(got_b[1], want, rtol=0, atol=5e-5)
+
+
+@pytest.mark.slow
+def test_pallas_fused_alternative_orders(rng):
+    """The two alternative point-grouping strategies (counting-permutation
+    "bin", jnp-bitonic "bitonic") match the oracle bit-for-bit too."""
+    pts = make_cloud(rng, 4000, SMALL)
+    t = SMALL.top
+    pts[:32, 2] = t.z_min + t.z_div * rng.randint(1, t.zn, 32)
+    pts[32:48, :3] = pts[:16, :3]
+    pts[32:48, 3] = pts[:16, 3] * 0.5 + 0.25
+    padded, _ = voxelize.pad_points(pts, 8192)
+    want = voxelize_ref.lidar_to_top_np(pts, SMALL)
+    for order in ("bin", "bitonic", "pallas-sort"):
+        fcfg = dataclasses.replace(SMALL, pipeline=dataclasses.replace(
+            SMALL.pipeline, use_pallas_fused=True, voxel_order=order))
+        got = np.asarray(voxelize.lidar_to_top(padded, fcfg))
+        np.testing.assert_allclose(got, want, rtol=0, atol=5e-5,
+                                   err_msg=order)

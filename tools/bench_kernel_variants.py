@@ -86,8 +86,8 @@ def main():
             n_chunks = -(-n // MW) + 1
             grid_spec = pltpu.PrefetchScalarGridSpec(
                 num_scalar_prefetch=1, grid=(n_tiles,),
-                in_specs=[pl.BlockSpec(memory_space=pltpu.ANY),
-                          pl.BlockSpec(memory_space=pltpu.ANY)],
+                in_specs=[pl.BlockSpec(memory_space=pl.ANY),
+                          pl.BlockSpec(memory_space=pl.ANY)],
                 out_specs=pl.BlockSpec(
                     (TILE // 1024, 8, 128), lambda i, *_: (i, 0, 0),
                     memory_space=pltpu.VMEM),
