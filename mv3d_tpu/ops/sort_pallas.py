@@ -26,6 +26,15 @@ along as an explicit secondary comparator key (4 arrays total: key, idx,
 and the two payloads); the result equals ``lax.sort`` with ``num_keys=2``
 over (key, iota) exactly — verified bit-for-bit in tests and against the
 fused voxelizer oracle.
+
+MEASURED RESULT (round 2, v5e): bit-correct on TPU, but e2e the pipeline
+runs at 100.5 fps vs 100.9 fps with ``lax.sort`` — a wash. The 136-stage
+network moves ~2 MB of VMEM traffic per stage across 4 operand arrays plus
+32 full transposes, which lands at roughly the generic sort's cost; the
+estimated 10x headroom did not materialize. ``lax.sort`` stays the default
+(``pipeline.voxel_order="sort"``); this kernel remains available as
+``voxel_order="pallas-sort"`` and as the repo's worked example of
+VMEM-resident Pallas sorting. Compile cost: ~7 min (Mosaic, unrolled).
 """
 
 from __future__ import annotations

@@ -51,7 +51,15 @@ class MV3D:
 
     def __init__(self, cfg: Config = _default_cfg, log_tag: str = "default",
                  checkpoint_dir: str = "checkpoint", log_dir: str = "log",
-                 seed: int = 0, checkpoint_backend: str = "npz"):
+                 seed: int = 0, checkpoint_backend: str = "npz",
+                 debug_mode: bool = False):
+        # non-interactive equivalent of the reference's tf_debug CLI session
+        # wrapper (mv3d.py:1349-1353, flag :253): every jitted program checks
+        # for NaN outputs and raises at the op that produced them, and
+        # ``debug_dump()`` reports per-array weight statistics.
+        self.debug_mode = debug_mode
+        if debug_mode:
+            jax.config.update("jax_debug_nans", True)
         self.cfg = cfg
         self.model = MV3DNet(cfg)
         self.tag = log_tag
@@ -108,6 +116,26 @@ class MV3D:
     def clean_weights(self, subnets: Optional[Sequence[str]] = None):
         for name in (subnets or SUBNET_NAMES):
             self.checkpointers[name].clean()
+
+    def debug_dump(self, path: Optional[str] = None) -> str:
+        """Write per-array statistics (shape, min/max/mean, nan/inf counts)
+        of every weight to ``<log_dir>/debug/<tag>_weights.txt`` and return
+        the path — the file-based stand-in for poking tensors in the
+        reference's interactive debug session."""
+        if path is None:
+            d = os.path.join(self.log_dir, "debug")
+            os.makedirs(d, exist_ok=True)
+            path = os.path.join(d, f"{self.tag}_weights.txt")
+        flat = jax.tree_util.tree_flatten_with_path(self.variables)[0]
+        with open(path, "w") as f:
+            for keypath, arr in flat:
+                a = np.asarray(arr)
+                f.write(
+                    f"{jax.tree_util.keystr(keypath)} {a.shape} {a.dtype} "
+                    f"min={a.min():.5g} max={a.max():.5g} "
+                    f"mean={a.mean():.5g} nan={int(np.isnan(a).sum())} "
+                    f"inf={int(np.isinf(a).sum())}\n")
+        return path
 
     # -- inference ------------------------------------------------------------
 

@@ -241,3 +241,22 @@ def test_orbax_checkpointer_sharded_roundtrip(tmp_path):
     # missing checkpoint -> None (reference fallback parity)
     assert SubnetCheckpointer("fusion", str(tmp_path / "ck"),
                               backend="orbax").load() is None
+
+
+def test_debug_mode_dump_and_nan_guard(tmp_path, dataset):
+    """debug_mode turns on jax_debug_nans (the file-based equivalent of the
+    reference's tf_debug session wrapper, mv3d.py:1349-1353) and debug_dump
+    writes per-weight statistics."""
+    try:
+        m = MV3D(cfg=CFG, log_tag="dbg", checkpoint_dir=str(tmp_path / "c"),
+                 log_dir=str(tmp_path / "l"), debug_mode=True)
+        assert jax.config.jax_debug_nans
+        path = m.debug_dump()
+        text = open(path).read()
+        assert "min=" in text and "nan=0" in text
+        # a NaN-producing program now raises instead of propagating silently
+        with pytest.raises(FloatingPointError):
+            jax.block_until_ready(
+                jax.jit(lambda x: x / x)(jnp.zeros(4)))
+    finally:
+        jax.config.update("jax_debug_nans", False)
