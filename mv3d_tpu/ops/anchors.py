@@ -146,17 +146,50 @@ def non_empty_anchor_mask(top_view: jnp.ndarray, anchors: jnp.ndarray,
     return rect > threshold
 
 
+def _interval_matrix(lo: np.ndarray, hi: np.ndarray, dim: int) -> np.ndarray:
+    """(G, dim) 0/1 matrix; row g selects indices lo[g] <= i < hi[g]."""
+    i = np.arange(dim)
+    return ((i[None, :] >= lo[:, None]) &
+            (i[None, :] < hi[:, None])).astype(np.float32)
+
+
 def non_empty_anchor_mask_structured(top_view: jnp.ndarray, bases: np.ndarray,
                                      stride: int,
                                      feature_shape: Tuple[int, int],
-                                     threshold: float = 0.0) -> jnp.ndarray:
+                                     threshold: float = 0.0,
+                                     mode: str = "rect-matmul"
+                                     ) -> jnp.ndarray:
     """Gather-free empty-anchor filter for base+stride anchor grids.
 
     Same semantics as :func:`non_empty_anchor_mask`, exploiting that anchors
-    are ``base + stride * grid`` (ops/anchors.make_anchors): each of the 4
-    integral-image corner lookups per base becomes a *strided slice* of an
-    edge-replicated padded integral image — pure vector ops, no gather/scatter
-    (the generic version's 4x120k gathers dominate its cost on TPU).
+    are ``base + stride * grid`` (ops/anchors.make_anchors).
+
+    ``mode="window"`` (default — fastest measured): the clamped rect sum
+    equals a ZERO-PADDED sliding-window sum once the last row/col of the
+    occupancy map are zeroed (the reference's corner clamp into [0, dim-1]
+    with an exclusive upper bound excludes row h-1 / col w-1 exactly when
+    the window sticks out — which is exactly what the zeroed border + plain
+    interval intersection reproduces). Two separable ``lax.reduce_window``
+    sum passes per base (window (dy,1) stride (s,1), then (1,dx) stride
+    (1,s)) with negative padding aligning output 0 to the base corner —
+    the orthodox TPU pooling pattern, no integral image, no strided slices,
+    no large constants. Round-2 measurements (e2e, batch 8):
+    integral-image stride-8 corner slices ~2.5 ms/frame
+    (tools/profile_net_stages.py); static interval-matrix MXU matmuls
+    (R_b @ occ @ C_b^T) 215 ms/frame (the ~2 MB of embedded constants are
+    pathological through the serving stack); this formulation ~0 ms.
+
+    ``mode="rect-matmul"``: the interval-matrix formulation (kept as a
+    measured dead end and CPU-side cross-check).
+
+    ``mode="integral"``: the round-1 formulation — exclusive 2D cumsum
+    integral image, edge-replicated pad, 4 stride-``stride`` corner slices
+    per base. Kept as the parity cross-check.
+
+    f32 note: window/rect-matmul accumulate each rect directly (no
+    inclusion-exclusion cancellation), so they are at least as accurate as
+    the integral path; all compare against ``threshold`` identically on
+    the oracle tests.
 
     Returns the (A,) mask in make_anchors' flat order (grid-major,
     base-minor).
@@ -164,6 +197,52 @@ def non_empty_anchor_mask_structured(top_view: jnp.ndarray, bases: np.ndarray,
     h, w = top_view.shape[0], top_view.shape[1]
     gh, gw = feature_shape
     occ = jnp.sum(top_view, axis=-1)
+    masks = []
+
+    if mode == "window":
+        # zero the clamp-excluded border, then per base: two separable
+        # window-sum passes whose negative low padding aligns output 0 with
+        # the base corner (reduce_window crops on negative padding)
+        occ_z = occ.at[h - 1, :].set(0.0).at[:, w - 1].set(0.0)
+        for b in bases:
+            x1, y1, x2, y2 = (int(b[0]), int(b[1]), int(b[2]), int(b[3]))
+            if y2 <= y1 or x2 <= x1:     # degenerate base: empty rect
+                masks.append(jnp.zeros((gh, gw), bool))
+                continue
+            dy, dx = y2 - y1, x2 - x1
+            pad_y = (-y1, y1 + (gh - 1) * stride + dy - h)
+            pad_x = (-x1, x1 + (gw - 1) * stride + dx - w)
+            rows = jax.lax.reduce_window(
+                occ_z, 0.0, jax.lax.add, (dy, 1), (stride, 1),
+                (pad_y, (0, 0)))                                 # (gh, w)
+            rect = jax.lax.reduce_window(
+                rows, 0.0, jax.lax.add, (1, dx), (1, stride),
+                ((0, 0), pad_x))                                 # (gh, gw)
+            masks.append(rect > threshold)
+        return jnp.stack(masks, axis=-1).reshape(-1)
+
+    if mode == "rect-matmul":
+        gi = np.arange(gh) * stride
+        gj = np.arange(gw) * stride
+        for b in bases:
+            x1, y1, x2, y2 = (int(b[0]), int(b[1]), int(b[2]), int(b[3]))
+            # the CUDA wrapper clamps each corner into [0, dim-1], then the
+            # exclusive-integral lookup sums y in [Y1, max(Y2, Y1))
+            ylo = np.clip(y1 + gi, 0, h - 1)
+            yhi = np.maximum(np.clip(y2 + gi, 0, h - 1), ylo)
+            xlo = np.clip(x1 + gj, 0, w - 1)
+            xhi = np.maximum(np.clip(x2 + gj, 0, w - 1), xlo)
+            ry = jnp.asarray(_interval_matrix(ylo, yhi, h))      # (gh, h)
+            cx = jnp.asarray(_interval_matrix(xlo, xhi, w))      # (gw, w)
+            rect = jax.lax.dot_general(
+                jax.lax.dot_general(ry, occ, (((1,), (0,)), ((), ())),
+                                    preferred_element_type=jnp.float32),
+                cx, (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32)              # (gh, gw)
+            masks.append(rect > threshold)
+        return jnp.stack(masks, axis=-1).reshape(-1)
+
+    assert mode == "integral", mode
     s = jnp.pad(jnp.cumsum(jnp.cumsum(occ, axis=0), axis=1),
                 ((1, 0), (1, 0)))                       # (h+1, w+1)
 
@@ -180,7 +259,6 @@ def non_empty_anchor_mask_structured(top_view: jnp.ndarray, bases: np.ndarray,
             (ys + (gh - 1) * stride + 1, xs + (gw - 1) * stride + 1),
             (stride, stride))
 
-    masks = []
     for b in bases:
         x1, y1, x2, y2 = (int(b[0]), int(b[1]), int(b[2]), int(b[3]))
         rect = (corner(y2, x2) - corner(y1, x2) -

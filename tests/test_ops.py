@@ -338,6 +338,28 @@ def test_structured_anchor_mask_matches_generic(rng):
     np.testing.assert_array_equal(structured, generic)
 
 
+def test_structured_anchor_mask_all_modes(rng):
+    """window (default), rect-matmul, and integral formulations agree with
+    the generic filter bit-for-bit, including border clamping."""
+    import dataclasses
+    cfg = dataclasses.replace(
+        kitti_config(),
+        top=dataclasses.replace(kitti_config().top, x_max=16.0, y_min=-6.0,
+                                y_max=6.0, x_div=0.2, y_div=0.2))  # (80,60,27)
+    bases = anchor_ops.mv3d_car_bases()
+    feat = cfg.top_feature_shape()
+    anchors, _ = anchor_ops.make_anchors(bases, 8, cfg.top.shape[:2], feat)
+    view = (rng.rand(*cfg.top.shape) < 0.003).astype(np.float32)
+    view[-1, :, 0] = 1.0   # exercise the clamp-excluded last row/col
+    view[:, -1, 0] = 1.0
+    generic = np.asarray(anchor_ops.non_empty_anchor_mask(
+        jnp.asarray(view), jnp.asarray(anchors), 0.0))
+    for mode in ("window", "rect-matmul", "integral"):
+        got = np.asarray(anchor_ops.non_empty_anchor_mask_structured(
+            jnp.asarray(view), bases, 8, feat, 0.0, mode=mode))
+        np.testing.assert_array_equal(got, generic, err_msg=mode)
+
+
 def test_structured_anchor_mask_full_grid(rng):
     bases = anchor_ops.mv3d_car_bases()
     feat = CFG.top_feature_shape()
