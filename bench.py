@@ -87,10 +87,11 @@ def main():
 
     # ---- pure-device: one XLA program, device-resident inputs --------------
     def full(variables, points, rgb):
-        top = voxelize.lidar_to_top_batch(points, cfg)
+        top, occ = voxelize.lidar_to_top_batch(points, cfg,
+                                               return_occ=True)
         front = voxelize.lidar_to_front_batch(points, cfg)
         dets, _ = model.forward_inference(variables, top, rgb, front,
-                                          score_threshold=0.05)
+                                          score_threshold=0.05, top_occ=occ)
         return dets.boxes3d, dets.probs, dets.mask
 
     f = jax.jit(full)
@@ -154,11 +155,14 @@ def main():
         # minimal-transfer serving program: f32 points + uint8 rgb cross the
         # link; every BEV/front channel is computed on-device (fused kernel)
         def full_stream(variables, points, num_points, rgb_u8):
-            top = voxelize.lidar_to_top_batch(points, cfg, num_points)
+            top, occ = voxelize.lidar_to_top_batch(points, cfg,
+                                                   num_points,
+                                                   return_occ=True)
             front = voxelize.lidar_to_front_batch(points, cfg, num_points)
             rgb = rgb_u8.astype(jnp.float32)
             dets, _ = model.forward_inference(variables, top, rgb, front,
-                                              score_threshold=0.05)
+                                              score_threshold=0.05,
+                                              top_occ=occ)
             return dets.boxes3d, dets.probs, dets.mask
 
         fh = jax.jit(full_stream)

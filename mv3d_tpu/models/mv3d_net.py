@@ -147,12 +147,18 @@ class MV3DNet:
         variables[FUSION] = self.fusion.init(k4, roi_feats)
         return jax.tree.map(lambda x: x, variables)   # plain dict copy
 
-    def anchor_mask(self, top_view_frame: jnp.ndarray) -> jnp.ndarray:
-        """In-graph empty-anchor filter for one frame (gather-free strided
-        formulation — the anchors are a static base+stride grid)."""
+    def anchor_mask(self, top_view_frame: jnp.ndarray,
+                    occ: jnp.ndarray = None) -> jnp.ndarray:
+        """In-graph empty-anchor filter for one frame (separable
+        reduce_window formulation — the anchors are a static base+stride
+        grid). Pass ``occ`` (the voxelizer's ``return_occ`` output) to avoid
+        re-deriving the channel sum from the assembled view — without it XLA
+        materializes a second f32 copy of the height volume (~1.8 ms/frame,
+        docs/PALLAS_NOTES.md)."""
         return non_empty_anchor_mask_structured(
             top_view_frame, self._bases_np, self.cfg.model.rpn_stride,
-            self._feat_shape, self.cfg.pipeline.remove_empty_thresh)
+            self._feat_shape, self.cfg.pipeline.remove_empty_thresh,
+            occ=occ)
 
     # -- feature extraction ---------------------------------------------------
 
@@ -212,20 +218,23 @@ class MV3DNet:
 
     def forward_inference(self, variables, top, rgb, front,
                           score_threshold: Optional[float] = None,
-                          nms_thresh: Optional[float] = None
+                          nms_thresh: Optional[float] = None,
+                          top_occ: Optional[jnp.ndarray] = None
                           ) -> Tuple[Detections, Proposals]:
         """Batched views -> final 3D detections. Pure function of variables.
 
         Equivalent of reference ``MV3D.predict`` (mv3d.py:272-328) minus the
-        host round-trips.
+        host round-trips. ``top_occ``: optional (B, H, W) occupancy mass from
+        the voxelizer's ``return_occ`` (avoids re-materializing the view for
+        the anchor filter — see anchor_mask).
         """
         cfg = self.cfg
         outs, _ = self.extract_features(variables, top, rgb, front, train=False)
         rpn = outs["rpn"]
 
-        def per_frame(top_i, scores_i, deltas_i, feat_top_i, feat_rgb_i,
-                      feat_front_i):
-            inside = self.anchor_mask(top_i)
+        def per_frame(top_i, occ_i, scores_i, deltas_i, feat_top_i,
+                      feat_rgb_i, feat_front_i):
+            inside = self.anchor_mask(top_i, occ=occ_i)
             props = rpn_proposals(scores_i, deltas_i, self.anchors, inside,
                                   cfg, nms_thresh=nms_thresh)
             rois3d = box3d_ops.top_box_to_box3d(props.rois[:, 1:5], cfg)
@@ -239,11 +248,12 @@ class MV3DNet:
 
         frgb = outs.get("rgb_features")
         ffront = outs.get("front_features")
-        in_axes = (0, 0, 0, 0,
+        in_axes = (0, 0 if top_occ is not None else None, 0, 0, 0,
                    0 if frgb is not None else None,
                    0 if ffront is not None else None)
         props, rois3d, pooled = jax.vmap(per_frame, in_axes=in_axes)(
-            top, rpn["scores"], rpn["deltas"], rpn["features"], frgb, ffront)
+            top, top_occ, rpn["scores"], rpn["deltas"], rpn["features"],
+            frgb, ffront)
 
         b, r = props.rois.shape[0], props.rois.shape[1]
         flat = {k: v.reshape((b * r,) + v.shape[2:]) for k, v in pooled.items()}
@@ -286,10 +296,12 @@ class MV3DNet:
 
         keys = jax.random.split(key, b)
 
-        def per_frame(top_i, scores_i, deltas_i, gt_top_i, gt3d_i, gl_i, gm_i,
-                      key_i):
+        top_occ = batch.get("top_occ")
+
+        def per_frame(top_i, occ_i, scores_i, deltas_i, gt_top_i, gt3d_i,
+                      gl_i, gm_i, key_i):
             k1, k2 = jax.random.split(key_i)
-            inside = self.anchor_mask(top_i)
+            inside = self.anchor_mask(top_i, occ=occ_i)
             rpn_tg = target_lib.rpn_target(self.anchors, inside, gt_top_i,
                                            gl_i, gm_i, k1, cfg)
             props = rpn_proposals(scores_i, deltas_i, self.anchors, inside, cfg)
@@ -297,9 +309,11 @@ class MV3DNet:
                                               gt3d_i, gl_i, gm_i, k2, cfg)
             return rpn_tg, fus_tg
 
-        rpn_tg, fus_tg = jax.vmap(per_frame)(
-            top, rpn["scores"], rpn["deltas"], gt_top, gt3d, gt_labels,
-            gt_mask, keys)
+        rpn_tg, fus_tg = jax.vmap(
+            per_frame,
+            in_axes=(0, 0 if top_occ is not None else None) + (0,) * 7)(
+            top, top_occ, rpn["scores"], rpn["deltas"], gt_top, gt3d,
+            gt_labels, gt_mask, keys)
 
         # roi pooling over the sampled rcnn rois
         def pool_frame(feat_top_i, feat_rgb_i, feat_front_i, rois_i, rois3d_i):

@@ -157,8 +157,8 @@ def non_empty_anchor_mask_structured(top_view: jnp.ndarray, bases: np.ndarray,
                                      stride: int,
                                      feature_shape: Tuple[int, int],
                                      threshold: float = 0.0,
-                                     mode: str = "rect-matmul"
-                                     ) -> jnp.ndarray:
+                                     mode: str = "window",
+                                     occ: jnp.ndarray = None) -> jnp.ndarray:
     """Gather-free empty-anchor filter for base+stride anchor grids.
 
     Same semantics as :func:`non_empty_anchor_mask`, exploiting that anchors
@@ -196,7 +196,12 @@ def non_empty_anchor_mask_structured(top_view: jnp.ndarray, bases: np.ndarray,
     """
     h, w = top_view.shape[0], top_view.shape[1]
     gh, gw = feature_shape
-    occ = jnp.sum(top_view, axis=-1)
+    if occ is None:
+        # NOTE: deriving the channel sum here forces XLA to materialize a
+        # second f32 copy of the assembled view (~1.8 ms/frame on the fused
+        # voxelizer path) — callers on the hot path pass the voxelizer's
+        # ``return_occ`` output instead.
+        occ = jnp.sum(top_view, axis=-1)
     masks = []
 
     if mode == "window":

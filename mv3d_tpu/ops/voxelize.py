@@ -64,10 +64,37 @@ def _crop_mask(points: jnp.ndarray, cfg: Config,
     return m
 
 
+def _occ_from_cells(heights2d, intensity, density, counts, cfg: Config):
+    """Per-cell occupancy mass for the empty-anchor filter.
+
+    The filter thresholds RECT SUMS of the view's channel sum
+    (remove_empty_box.py:46-47). Every channel is non-negative (heights are
+    frac/1.0 values in [0, 1], intensity is reflectance in [0, 1], density
+    in [0, 1]) and density > 0 exactly when the cell holds >= 1 point — so
+    at the default threshold 0.0 the point COUNT has the same zero-set as
+    the channel sum and yields a bit-identical mask, without reducing the
+    46 MB height volume (which XLA would otherwise materialize in f32 just
+    for this — ~1.8 ms/frame, docs/PALLAS_NOTES.md). Non-zero thresholds
+    need the true sums; only then is the reduction paid.
+    """
+    if cfg.pipeline.remove_empty_thresh == 0.0:
+        return counts.astype(jnp.float32)
+    return jnp.sum(heights2d, axis=1) + intensity + density
+
+
 def lidar_to_top(points: jnp.ndarray, cfg: Config = _default_cfg,
                  num_points: Optional[jnp.ndarray] = None,
-                 aux: Optional[jnp.ndarray] = None) -> jnp.ndarray:
+                 aux: Optional[jnp.ndarray] = None,
+                 return_occ: bool = False) -> jnp.ndarray:
     """(N, 4) padded lidar points -> (Xn, Yn, Zn+2) BEV map, float32.
+
+    ``return_occ``: also return the (Xn, Yn) per-cell channel sum ("occupancy
+    mass", what the empty-anchor filter consumes). Computing it here — from
+    the pre-concatenation per-cell arrays on the fused path — matters:
+    profiling (docs/PALLAS_NOTES.md, round 2) showed that deriving it
+    downstream as ``top.sum(-1)`` makes XLA materialize a SECOND, f32 copy
+    of the whole 46 MB height volume (~1.8 ms/frame); here it is a cheap
+    per-cell reduction of arrays that already exist.
 
     Channels 0..Zn-1: per-slice max height above the slice floor (in z-cell
     units); channel Zn: reflectance of the highest point in the cell; channel
@@ -128,10 +155,14 @@ def lidar_to_top(points: jnp.ndarray, cfg: Config = _default_cfg,
             flat, val, jnp.where(valid, refl, 0.0), n_cells, zn,
             order=cfg.pipeline.voxel_order)
         density = jnp.minimum(1.0, jnp.log(counts + 1.0) / math.log(32))
+        heights2d = heights.reshape(n_cells, zn)
         top = jnp.concatenate(
-            [heights.reshape(n_cells, zn),
-             intensity[:, None], density[:, None]], axis=1)
-        return top.reshape(xn, yn, zn + 2)
+            [heights2d, intensity[:, None], density[:, None]], axis=1)
+        top = top.reshape(xn, yn, zn + 2)
+        if return_occ:
+            occ = _occ_from_cells(heights2d, intensity, density, counts, cfg)
+            return top, occ.reshape(xn, yn)
+        return top
 
     if cfg.pipeline.use_pallas_heights:
         from .voxelize_pallas import scatter_max_sorted
@@ -144,6 +175,8 @@ def lidar_to_top(points: jnp.ndarray, cfg: Config = _default_cfg,
     if aux is not None:
         top = jnp.concatenate(
             [heights.reshape(xn, yn, zn), aux.astype(jnp.float32)], axis=-1)
+        if return_occ:
+            return top, jnp.sum(top, axis=-1)
         return top
 
     # per-cell max height reconstructed from the slices (no scatter):
@@ -171,7 +204,12 @@ def lidar_to_top(points: jnp.ndarray, cfg: Config = _default_cfg,
 
     top = jnp.concatenate(
         [heights, intensity[:, None], density[:, None]], axis=1)
-    return top.reshape(xn, yn, zn + 2)
+    top = top.reshape(xn, yn, zn + 2)
+    if return_occ:
+        occ = _occ_from_cells(heights, intensity, density,
+                              counts[:n_cells], cfg)
+        return top, occ.reshape(xn, yn)
+    return top
 
 
 def lidar_to_front(points: jnp.ndarray, cfg: Config = _default_cfg,
@@ -222,9 +260,13 @@ def lidar_to_front(points: jnp.ndarray, cfg: Config = _default_cfg,
 
 def lidar_to_top_batch(points: jnp.ndarray, cfg: Config = _default_cfg,
                        num_points: Optional[jnp.ndarray] = None,
-                       aux: Optional[jnp.ndarray] = None) -> jnp.ndarray:
-    """(B, N, 4) -> (B, Xn, Yn, Zn+2). Optional (B, Xn, Yn, 2) host aux."""
-    fn = partial(lidar_to_top, cfg=cfg)
+                       aux: Optional[jnp.ndarray] = None,
+                       return_occ: bool = False) -> jnp.ndarray:
+    """(B, N, 4) -> (B, Xn, Yn, Zn+2). Optional (B, Xn, Yn, 2) host aux.
+
+    ``return_occ``: also return the (B, Xn, Yn) occupancy mass for the
+    empty-anchor filter (see :func:`lidar_to_top`)."""
+    fn = partial(lidar_to_top, cfg=cfg, return_occ=return_occ)
     args = [points]
     in_axes = [0]
     kw = {}

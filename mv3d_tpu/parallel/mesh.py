@@ -130,10 +130,11 @@ def make_sharded_infer_step(model, mesh: Mesh, score_threshold: float = 0.05):
     cfg = model.cfg
 
     def infer(variables, points, rgb):
-        top = lidar_to_top_batch(points, cfg)
+        top, occ = lidar_to_top_batch(points, cfg, return_occ=True)
         front = lidar_to_front_batch(points, cfg)
         dets, _ = model.forward_inference(variables, top, rgb, front,
-                                          score_threshold=score_threshold)
+                                          score_threshold=score_threshold,
+                                          top_occ=occ)
         return dets
 
     return jax.jit(infer,

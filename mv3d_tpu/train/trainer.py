@@ -40,8 +40,8 @@ def _prepare_views(batch: Dict[str, jnp.ndarray], cfg: Config
         pts = batch["points"]
         num = batch.get("num_points")
         batch = dict(batch)
-        batch["top"] = lidar_to_top_batch(pts, cfg, num,
-                                          aux=batch.pop("top_aux", None))
+        batch["top"], batch["top_occ"] = lidar_to_top_batch(
+            pts, cfg, num, aux=batch.pop("top_aux", None), return_occ=True)
         batch["front"] = lidar_to_front_batch(pts, cfg, num)
     return batch
 
@@ -82,10 +82,12 @@ class MV3D:
 
         def _infer_points(variables, points, num_points, rgb, score_threshold,
                           top_aux=None):
-            top = lidar_to_top_batch(points, self.cfg, num_points, aux=top_aux)
+            top, occ = lidar_to_top_batch(points, self.cfg, num_points,
+                                          aux=top_aux, return_occ=True)
             front = lidar_to_front_batch(points, self.cfg, num_points)
             return self.model.forward_inference(
-                variables, top, rgb, front, score_threshold=score_threshold)
+                variables, top, rgb, front, score_threshold=score_threshold,
+                top_occ=occ)
 
         self._infer_points = jax.jit(_infer_points)
         self._infer_points_aux = jax.jit(

@@ -267,3 +267,27 @@ def test_pallas_fused_alternative_orders(rng):
         got = np.asarray(voxelize.lidar_to_top(padded, fcfg))
         np.testing.assert_allclose(got, want, rtol=0, atol=5e-5,
                                    err_msg=order)
+
+
+def test_return_occ_mask_parity(rng):
+    """The voxelizer's return_occ output drives the empty-anchor filter to a
+    BIT-IDENTICAL mask vs summing the assembled view (the count proxy shares
+    the channel sum's zero-set at threshold 0.0 — _occ_from_cells)."""
+    from mv3d_tpu.ops import anchors as anchor_ops
+
+    pts = make_cloud(rng, 3000, SMALL)
+    padded, _ = voxelize.pad_points(pts, 8192)
+    for fused in (False, True):
+        fcfg = dataclasses.replace(SMALL, pipeline=dataclasses.replace(
+            SMALL.pipeline, use_pallas_fused=fused))
+        top, occ = voxelize.lidar_to_top(padded, fcfg, return_occ=True)
+        bases = anchor_ops.mv3d_car_bases()
+        feat = fcfg.top_feature_shape()
+        want = np.asarray(anchor_ops.non_empty_anchor_mask_structured(
+            top, bases, 8, feat, 0.0))
+        got = np.asarray(anchor_ops.non_empty_anchor_mask_structured(
+            top, bases, 8, feat, 0.0, occ=occ))
+        np.testing.assert_array_equal(got, want, err_msg=f"fused={fused}")
+        # occ zero-set == view channel-sum zero-set
+        view_sum = np.asarray(top).sum(-1)
+        np.testing.assert_array_equal(np.asarray(occ) > 0, view_sum > 0)
