@@ -222,6 +222,11 @@ class PipelineConfig:
     # permutation; measured SLOWER, 80-90 fps — the permutation placement
     # itself hits TPU's per-element scatter/gather serialization)
     voxel_order: str = "sort"
+    # dtype of the assembled top view on the fused in-graph path:
+    # "float32" (oracle-exact, default) or "bfloat16" (serving: the trunks
+    # convert to bf16 anyway, so the network sees identical values while the
+    # kernel skips the f32->bf16 convert + assembly pass, ~0.85 ms/frame)
+    top_view_dtype: str = "float32"
     max_gt: int = 32                   # padded ground-truth boxes per frame
     remove_empty_thresh: float = 0.0   # cfg.REMOVE_THRES
     detect_classes: Tuple[str, ...] = ("Car", "Van")   # cfg.DETECT_OBJ

@@ -64,6 +64,39 @@ def _crop_mask(points: jnp.ndarray, cfg: Config,
     return m
 
 
+def _top_prep(points: jnp.ndarray, cfg: Config,
+              num_points: Optional[jnp.ndarray]):
+    """Per-frame point quantization shared by all top-view formulations.
+
+    Returns (valid, cell, flat, val, refl): crop mask, per-point cell id
+    (dump cell = n_cells for invalid), flat (cell*zn + s_eff) height-slice
+    id with the inclusive-boundary redirect applied (dump = n_cells*zn),
+    the slice height value, and reflectance.
+    """
+    t = cfg.top
+    xn, yn, zn = t.xn, t.yn, t.zn
+    n_cells = xn * yn
+
+    valid = _crop_mask(points, cfg, num_points)
+
+    qx = jnp.floor((points[:, 0] - t.x_min) / t.x_div).astype(jnp.int32)
+    qy = jnp.floor((points[:, 1] - t.y_min) / t.y_div).astype(jnp.int32)
+    qz = ((points[:, 2] - t.z_min) / t.z_div).astype(jnp.float32)
+    refl = points[:, 3].astype(jnp.float32)
+
+    row = xn - 1 - qx
+    col = yn - 1 - qy
+    cell = jnp.where(valid, row * yn + col, n_cells)        # dump cell
+
+    s = jnp.minimum(jnp.floor(qz), zn - 1).astype(jnp.int32)
+    frac = qz - s.astype(jnp.float32)
+    exact = (frac == 0.0) & (s >= 1)
+    s_eff = jnp.where(exact, s - 1, s)
+    val = jnp.where(valid, jnp.where(exact, 1.0, frac), 0.0)
+    flat = jnp.where(valid, cell * zn + s_eff, n_cells * zn)
+    return valid, cell, flat, val, refl
+
+
 def _occ_from_cells(heights2d, intensity, density, counts, cfg: Config):
     """Per-cell occupancy mass for the empty-anchor filter.
 
@@ -128,24 +161,10 @@ def lidar_to_top(points: jnp.ndarray, cfg: Config = _default_cfg,
     n = points.shape[0]
     n_cells = xn * yn
 
-    valid = _crop_mask(points, cfg, num_points)
-
-    qx = jnp.floor((points[:, 0] - t.x_min) / t.x_div).astype(jnp.int32)
-    qy = jnp.floor((points[:, 1] - t.y_min) / t.y_div).astype(jnp.int32)
+    # per-slice heights use ONE scatter-max with the boundary redirect
+    # folded into flat/val (see _top_prep)
+    valid, cell, flat, val, refl = _top_prep(points, cfg, num_points)
     qz = ((points[:, 2] - t.z_min) / t.z_div).astype(jnp.float32)
-    refl = points[:, 3].astype(jnp.float32)
-
-    row = xn - 1 - qx
-    col = yn - 1 - qy
-    cell = jnp.where(valid, row * yn + col, n_cells)        # dump cell = n_cells
-
-    # --- per-slice heights: one scatter-max with boundary redirect ----------
-    s = jnp.minimum(jnp.floor(qz), zn - 1).astype(jnp.int32)
-    frac = qz - s.astype(jnp.float32)
-    exact = (frac == 0.0) & (s >= 1)
-    s_eff = jnp.where(exact, s - 1, s)
-    val = jnp.where(valid, jnp.where(exact, 1.0, frac), 0.0)
-    flat = jnp.where(valid, cell * zn + s_eff, n_cells * zn)
 
     if aux is None and cfg.pipeline.use_pallas_fused:
         # ONE sorted Pallas sweep for all 27 channels (heights + intensity +
@@ -266,6 +285,39 @@ def lidar_to_top_batch(points: jnp.ndarray, cfg: Config = _default_cfg,
 
     ``return_occ``: also return the (B, Xn, Yn) occupancy mass for the
     empty-anchor filter (see :func:`lidar_to_top`)."""
+    if aux is None and cfg.pipeline.use_pallas_fused:
+        # native-batch kernel path: vmap of a scalar-prefetch pallas_call
+        # degrades to a sequential while loop with per-frame output assembly
+        # (~1 ms/frame, docs/PALLAS_NOTES.md) — feed the whole batch to one
+        # (B, n_tiles)-grid kernel instead
+        from .voxelize_pallas import scatter_top_fused_batched
+        t = cfg.top
+        xn, yn, zn = t.xn, t.yn, t.zn
+        n_cells = xn * yn
+        bsz = points.shape[0]
+        if num_points is None:
+            _, _, flat, val, refl = jax.vmap(
+                lambda p: _top_prep(p, cfg, None))(points)
+        else:
+            _, _, flat, val, refl = jax.vmap(
+                lambda p, m: _top_prep(p, cfg, m))(points, num_points)
+        view_dtype = jnp.dtype(cfg.pipeline.top_view_dtype)
+        heights, counts, intensity = scatter_top_fused_batched(
+            flat, val, jnp.where(flat < n_cells * zn, refl, 0.0),
+            n_cells, zn, order=cfg.pipeline.voxel_order,
+            heights_dtype=view_dtype)
+        density = jnp.minimum(1.0, jnp.log(counts + 1.0) / math.log(32))
+        heights2d = heights.reshape(bsz, n_cells, zn)
+        top = jnp.concatenate(
+            [heights2d, intensity[:, :, None].astype(view_dtype),
+             density[:, :, None].astype(view_dtype)], axis=2)
+        top = top.reshape(bsz, xn, yn, zn + 2)
+        if return_occ:
+            occ = jax.vmap(partial(_occ_from_cells, cfg=cfg))(
+                heights2d, intensity, density, counts)
+            return top, occ.reshape(bsz, xn, yn)
+        return top
+
     fn = partial(lidar_to_top, cfg=cfg, return_occ=return_occ)
     args = [points]
     in_axes = [0]

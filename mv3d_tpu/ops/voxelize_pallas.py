@@ -214,8 +214,10 @@ _CT = 4096            # cells per tile; CT*zn and CT are multiples of 1024
 def _fused_kernel(starts_ref, flat_ref, hval_ref, refl_ref,
                   hout_ref, cout_ref, rout_ref,
                   sflat, shval, srefl, zbest, sems,
-                  *, ct: int, zn: int, n_chunks: int, max_w: int):
-    """Per cell-tile: replay the sorted point window as masked VMEM RMWs.
+                  *, ct: int, zn: int, n_chunks: int, max_w: int,
+                  n_stride: int):
+    """Per (frame, cell-tile): replay the sorted point window as masked VMEM
+    RMWs.
 
     For each point (one visit): slice-height max into ``hout``, +1 into the
     cell's count in ``cout``, and a running "highest point wins, first one on
@@ -223,11 +225,21 @@ def _fused_kernel(starts_ref, flat_ref, hval_ref, refl_ref,
     The true z-quantile is reconstructed in-kernel as qz = s_eff + hval
     (f32-exact, including the inclusive-boundary redirect where hval == 1.0),
     so the sort needs no extra payload for it.
+
+    The grid is (B, n_tiles) — the batch is a NATIVE grid dimension because
+    ``vmap`` of a scalar-prefetch pallas_call falls back to a sequential
+    ``while`` loop with per-frame dynamic-update-slice assembly of the
+    outputs (~1 ms/frame measured, docs/PALLAS_NOTES.md round-2 trace).
+    The sorted point arrays arrive FLATTENED 1-D with per-frame stride
+    ``n_stride`` (a multiple of the DMA window, keeping every window offset
+    aligned — Mosaic rejects single-row slices of (8,128)-tiled 2-D VMEM).
     """
-    t = pl.program_id(0)
+    b = pl.program_id(0)
+    t = pl.program_id(1)
     base_flat = t * ct * zn
-    start = starts_ref[t]
-    end = starts_ref[t + 1]
+    start = starts_ref[b, t]
+    end = starts_ref[b, t + 1]
+    frame_base = pl.multiple_of(b * n_stride, max_w)
 
     hout_ref[:] = jnp.zeros_like(hout_ref)
     cout_ref[:] = jnp.zeros_like(cout_ref)
@@ -243,8 +255,9 @@ def _fused_kernel(starts_ref, flat_ref, hval_ref, refl_ref,
 
         @pl.when(chunk_start < end)
         def _():
+            src_off = pl.multiple_of(frame_base + chunk_start, max_w)
             cps = [pltpu.make_async_copy(
-                r.at[pl.ds(chunk_start, max_w)], s, sems.at[i])
+                r.at[pl.ds(src_off, max_w)], s, sems.at[i])
                 for i, (r, s) in enumerate(
                     [(flat_ref, sflat), (hval_ref, shval), (refl_ref, srefl)])]
             for cp in cps:
@@ -259,8 +272,8 @@ def _fused_kernel(starts_ref, flat_ref, hval_ref, refl_ref,
                 v = shval[i]
                 blk = f // (_SUB * _LANES)
                 off = f - blk * (_SUB * _LANES)
-                hout_ref[blk] = jnp.maximum(
-                    hout_ref[blk], jnp.where(lin_ids == off, v, 0.0))
+                hout_ref[0, blk] = jnp.maximum(
+                    hout_ref[0, blk], jnp.where(lin_ids == off, v, 0.0))
 
                 lc = f // zn                          # local cell [0, ct)
                 s_eff = f - lc * zn
@@ -268,11 +281,11 @@ def _fused_kernel(starts_ref, flat_ref, hval_ref, refl_ref,
                 cblk = lc // (_SUB * _LANES)
                 coff = lc - cblk * (_SUB * _LANES)
                 hit = lin_ids == coff
-                cout_ref[cblk] = cout_ref[cblk] + jnp.where(hit, 1.0, 0.0)
+                cout_ref[0, cblk] = cout_ref[0, cblk] + jnp.where(hit, 1.0, 0.0)
                 zb = zbest[cblk]
                 upd = hit & (qz > zb)
                 zbest[cblk] = jnp.where(upd, qz, zb)
-                rout_ref[cblk] = jnp.where(upd, srefl[i], rout_ref[cblk])
+                rout_ref[0, cblk] = jnp.where(upd, srefl[i], rout_ref[0, cblk])
                 return 0
 
             jax.lax.fori_loop(lo, hi, point_body, 0)
@@ -282,21 +295,35 @@ def _fused_kernel(starts_ref, flat_ref, hval_ref, refl_ref,
     jax.lax.fori_loop(0, n_chunks, chunk_body, 0)
 
 
-def scatter_top_fused(flat: jnp.ndarray, hval: jnp.ndarray,
-                      refl: jnp.ndarray, n_cells: int, zn: int,
-                      interpret: Optional[bool] = None,
-                      order: str = "bin"
-                      ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
-    """One sorted sweep -> (heights (n_cells*zn,), count (n_cells,),
-    intensity (n_cells,)).
+def scatter_top_fused_batched(flat: jnp.ndarray, hval: jnp.ndarray,
+                              refl: jnp.ndarray, n_cells: int, zn: int,
+                              interpret: Optional[bool] = None,
+                              order: str = "sort",
+                              heights_dtype=jnp.float32
+                              ) -> Tuple[jnp.ndarray, jnp.ndarray,
+                                         jnp.ndarray]:
+    """Batched sorted sweep: (B, n) inputs -> (heights (B, n_cells*zn),
+    count (B, n_cells), intensity (B, n_cells)).
 
     ``flat`` = cell*zn + s_eff with the boundary redirect already applied;
     entries with ``flat >= n_cells*zn`` are padding. Replaces the three
     separate XLA scatters of ops/voxelize.py (density scatter-add, winner-
     index scatter-min, intensity scatter-max) and the zmax reconstruction —
     reference semantics per src/data.py:340-366 / front_top_kernel.cu:4-65.
+
+    The batch is a native grid dimension (see _fused_kernel); the sort and
+    searchsorted batch trivially (lax.sort is per-row on the last axis).
+
+    ``heights_dtype``: f32 (default, oracle-exact) or bf16 — heights are
+    then converted in the kernel's PADDED tiled layout, one plain
+    elementwise pass, instead of downstream where the unpad slice + reshape
+    makes XLA emit a sequential per-frame convert-assembly loop
+    (~0.85 ms/frame measured, docs/PALLAS_NOTES.md). The bf16 result is
+    exactly the f32 result rounded once. (An in-kernel bf16 store was
+    tried first: Mosaic cannot relayout the (8,128) i1 select mask to
+    bf16's (16,128) tiling.)
     """
-    n = flat.shape[0]
+    bsz, n = flat.shape
     if interpret is None:
         interpret = jax.default_backend() == "cpu"
 
@@ -312,40 +339,58 @@ def scatter_top_fused(flat: jnp.ndarray, hval: jnp.ndarray,
     if order == "bin":
         # grouping by tile is enough for the sweep (see bin_points_by_tile);
         # measured slower than sorting on v5e — kept as a tested alternative
-        (sflat, shval, srefl), starts = bin_points_by_tile(
-            flat, (hval.astype(jnp.float32), refl.astype(jnp.float32)),
-            _CT * zn, n_tiles, n_flat_pad)
-    else:
-        if order == "pallas-sort" and (n & (n - 1)) == 0 and n >= 256:
-            from .sort_pallas import bitonic_sort_pallas
-            sflat, shval, srefl = bitonic_sort_pallas(
-                flat, (hval.astype(jnp.float32), refl.astype(jnp.float32)),
-                interpret=interpret)
-        elif order == "bitonic" and (n & (n - 1)) == 0:
+        def group(f, h, r):
+            (sf, sh, sr), st = bin_points_by_tile(
+                f, (h.astype(jnp.float32), r.astype(jnp.float32)),
+                _CT * zn, n_tiles, n_flat_pad)
+            return sf, sh, sr, st
+        sflat, shval, srefl, starts = jax.vmap(group)(flat, hval, refl)
+    elif order in ("pallas-sort", "bitonic") and (n & (n - 1)) == 0:
+        def sort_one(f, h, r):
+            if order == "pallas-sort":
+                from .sort_pallas import bitonic_sort_pallas
+                return bitonic_sort_pallas(
+                    f, (h.astype(jnp.float32), r.astype(jnp.float32)),
+                    interpret=interpret)
             from .sort import bitonic_sort_stable
-            sflat, shval, srefl = bitonic_sort_stable(
-                flat, (hval.astype(jnp.float32), refl.astype(jnp.float32)))
-        else:
-            sflat, shval, srefl = jax.lax.sort(
-                (flat, hval.astype(jnp.float32), refl.astype(jnp.float32)),
-                num_keys=1)
+            return bitonic_sort_stable(
+                f, (h.astype(jnp.float32), r.astype(jnp.float32)))
+        sflat, shval, srefl = jax.vmap(sort_one)(flat, hval, refl)
+        starts = None
+    else:
+        sflat, shval, srefl = jax.lax.sort(
+            (flat, hval.astype(jnp.float32), refl.astype(jnp.float32)),
+            num_keys=1)
+        starts = None
+    if starts is None:
         bounds = jnp.arange(n_tiles + 1, dtype=jnp.int32) * (_CT * zn)
-        starts = jnp.searchsorted(sflat[:n], bounds).astype(jnp.int32)
-    sflat = jnp.concatenate([sflat, jnp.full((_MAX_W,), n_flat_pad, jnp.int32)])
-    shval = jnp.concatenate([shval, jnp.zeros((_MAX_W,), jnp.float32)])
-    srefl = jnp.concatenate([srefl, jnp.zeros((_MAX_W,), jnp.float32)])
+        starts = jax.vmap(
+            lambda row: jnp.searchsorted(row, bounds))(sflat[:, :n])
+        starts = starts.astype(jnp.int32)
+
+    # flatten to 1-D with a window-aligned per-frame stride (see kernel doc)
+    pad_cols = _MAX_W + (-n % _MAX_W)
+    n_stride = n + pad_cols
+    assert n_stride % _MAX_W == 0
+    pad = ((0, 0), (0, pad_cols))
+    sflat = jnp.pad(sflat, pad, constant_values=n_flat_pad).reshape(-1)
+    shval = jnp.pad(shval, pad).reshape(-1)
+    srefl = jnp.pad(srefl, pad).reshape(-1)
     n_chunks = -(-n // _MAX_W) + 1
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
-        grid=(n_tiles,),
+        grid=(bsz, n_tiles),
         in_specs=[pl.BlockSpec(memory_space=pl.ANY)] * 3,
         out_specs=[
-            pl.BlockSpec((h_blocks, _SUB, _LANES), lambda i, *_: (i, 0, 0),
+            pl.BlockSpec((1, h_blocks, _SUB, _LANES),
+                         lambda b, i, *_: (b, i, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((c_blocks, _SUB, _LANES), lambda i, *_: (i, 0, 0),
+            pl.BlockSpec((1, c_blocks, _SUB, _LANES),
+                         lambda b, i, *_: (b, i, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((c_blocks, _SUB, _LANES), lambda i, *_: (i, 0, 0),
+            pl.BlockSpec((1, c_blocks, _SUB, _LANES),
+                         lambda b, i, *_: (b, i, 0, 0),
                          memory_space=pltpu.VMEM),
         ],
         scratch_shapes=[pltpu.SMEM((_MAX_W,), jnp.int32),
@@ -355,23 +400,38 @@ def scatter_top_fused(flat: jnp.ndarray, hval: jnp.ndarray,
                         pltpu.SemaphoreType.DMA((3,))],
     )
     kernel = functools.partial(_fused_kernel, ct=_CT, zn=int(zn),
-                               n_chunks=int(n_chunks), max_w=_MAX_W)
+                               n_chunks=int(n_chunks), max_w=_MAX_W,
+                               n_stride=int(n_stride))
     heights, count, inten = pl.pallas_call(
         kernel,
         grid_spec=grid_spec,
         out_shape=[
-            jax.ShapeDtypeStruct((n_tiles * h_blocks, _SUB, _LANES),
+            jax.ShapeDtypeStruct((bsz, n_tiles * h_blocks, _SUB, _LANES),
                                  jnp.float32),
-            jax.ShapeDtypeStruct((n_tiles * c_blocks, _SUB, _LANES),
+            jax.ShapeDtypeStruct((bsz, n_tiles * c_blocks, _SUB, _LANES),
                                  jnp.float32),
-            jax.ShapeDtypeStruct((n_tiles * c_blocks, _SUB, _LANES),
+            jax.ShapeDtypeStruct((bsz, n_tiles * c_blocks, _SUB, _LANES),
                                  jnp.float32),
         ],
         interpret=interpret,
     )(starts, sflat, shval, srefl)
-    return (heights.reshape(-1)[:n_flat],
-            count.reshape(-1)[:n_cells],
-            inten.reshape(-1)[:n_cells])
+    if heights_dtype != jnp.float32:
+        heights = heights.astype(heights_dtype)   # padded layout: one pass
+    return (heights.reshape(bsz, -1)[:, :n_flat],
+            count.reshape(bsz, -1)[:, :n_cells],
+            inten.reshape(bsz, -1)[:, :n_cells])
+
+
+def scatter_top_fused(flat: jnp.ndarray, hval: jnp.ndarray,
+                      refl: jnp.ndarray, n_cells: int, zn: int,
+                      interpret: Optional[bool] = None,
+                      order: str = "sort"
+                      ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+    """Single-frame wrapper over :func:`scatter_top_fused_batched` (B=1)."""
+    heights, count, inten = scatter_top_fused_batched(
+        flat[None], hval[None], refl[None], n_cells, zn,
+        interpret=interpret, order=order)
+    return heights[0], count[0], inten[0]
 
 
 def heights_pallas(points: jnp.ndarray, cfg: Config = _default_cfg,

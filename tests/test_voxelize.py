@@ -291,3 +291,25 @@ def test_return_occ_mask_parity(rng):
         # occ zero-set == view channel-sum zero-set
         view_sum = np.asarray(top).sum(-1)
         np.testing.assert_array_equal(np.asarray(occ) > 0, view_sum > 0)
+
+
+def test_bf16_view_dtype_is_rounded_f32(rng):
+    """top_view_dtype=bfloat16 produces EXACTLY the f32 view rounded once
+    (monotone round-to-nearest commutes with the height max)."""
+    import jax.numpy as jnp
+
+    pts = make_cloud(rng, 3000, SMALL)
+    padded, _ = voxelize.pad_points(pts, 8192)
+    batch = np.stack([padded, padded])
+    f32cfg = dataclasses.replace(SMALL, pipeline=dataclasses.replace(
+        SMALL.pipeline, use_pallas_fused=True))
+    bf16cfg = dataclasses.replace(SMALL, pipeline=dataclasses.replace(
+        SMALL.pipeline, use_pallas_fused=True, top_view_dtype="bfloat16"))
+    top32, occ32 = voxelize.lidar_to_top_batch(batch, f32cfg, return_occ=True)
+    top16, occ16 = voxelize.lidar_to_top_batch(batch, bf16cfg, return_occ=True)
+    assert top16.dtype == jnp.bfloat16
+    np.testing.assert_array_equal(
+        np.asarray(top32.astype(jnp.bfloat16).astype(jnp.float32)),
+        np.asarray(top16.astype(jnp.float32)))
+    # occupancy (counts proxy) is dtype-independent
+    np.testing.assert_array_equal(np.asarray(occ32), np.asarray(occ16))
