@@ -58,9 +58,14 @@ def main():
     cfg = kitti_config()
     if on_tpu:
         # Pallas kernels (compiled path only): fused sweep for pure-device,
-        # height-only kernel for the hybrid/streaming path
+        # height-only kernel for the streaming path. Serving layout: the
+        # kernel emits the folded s2d2 bf16 view the conv stem consumes
+        # directly — function-equivalent to the standard f32 view (the fold
+        # is a fixed channel permutation, tested; the trunk computes in
+        # bf16 either way), with zero relayout/convert passes.
         cfg = dataclasses.replace(cfg, pipeline=dataclasses.replace(
-            cfg.pipeline, use_pallas_fused=True, use_pallas_heights=True))
+            cfg.pipeline, use_pallas_fused=True, use_pallas_heights=True,
+            view_layout="s2d2", top_view_dtype="bfloat16"))
     model = MV3DNet(cfg)
     log(f"devices: {jax.devices()}  batch={BATCH} "
         f"pallas_fused={cfg.pipeline.use_pallas_fused}")

@@ -227,6 +227,11 @@ class PipelineConfig:
     # convert to bf16 anyway, so the network sees identical values while the
     # kernel skips the f32->bf16 convert + assembly pass, ~0.85 ms/frame)
     top_view_dtype: str = "float32"
+    # layout of the fused in-graph top view: "hwc" (standard (H, W, Zn+2),
+    # default) or "s2d2" ((H/2, W/2, (Zn+2)*4) folded 2x2 space-to-depth
+    # order, emitted by the kernel with NO relayout — requires the trunk's
+    # stem_space_to_depth and even grid dims; see ops/voxelize.fold_view_s2d2)
+    view_layout: str = "hwc"
     max_gt: int = 32                   # padded ground-truth boxes per frame
     remove_empty_thresh: float = 0.0   # cfg.REMOVE_THRES
     detect_classes: Tuple[str, ...] = ("Car", "Van")   # cfg.DETECT_OBJ

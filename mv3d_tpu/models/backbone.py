@@ -158,6 +158,9 @@ class ResnetTiny(nn.Module):
     base_filters: int = 64
     s2d_factor: int = 0
     dtype: Dtype = jnp.bfloat16
+    # input is ALREADY channel-folded (the voxelizer's "s2d2" view layout):
+    # skip the in-model space_to_depth. Only meaningful with s2d_factor=2.
+    input_prefolded: bool = False
 
     @nn.compact
     def __call__(self, x, train: bool = False):
@@ -167,7 +170,8 @@ class ResnetTiny(nn.Module):
                            dtype=self.dtype)(x, train)
             x = nn.max_pool(x, (3, 3), strides=(2, 2), padding="SAME")
         elif self.s2d_factor == 2:
-            x = space_to_depth(x, 2)
+            if not self.input_prefolded:
+                x = space_to_depth(x, 2)
             x = ConvBnRelu(self.base_filters, (3, 3), (1, 1),
                            dtype=self.dtype)(x, train)
             x = nn.max_pool(x, (3, 3), strides=(2, 2), padding="SAME")

@@ -103,8 +103,13 @@ class MV3DNet:
         m = cfg.model
         s2d_top = 2 if m.stem_space_to_depth else 0
         s2d_rgb = 4 if m.stem_space_to_depth else 0
+        folded = cfg.pipeline.view_layout == "s2d2"
+        assert not folded or (s2d_top == 2
+                              and cfg.top.xn % 2 == 0 and cfg.top.yn % 2 == 0), \
+            "view_layout=s2d2 requires stem_space_to_depth and even grid dims"
         self.top_rpn = TopRPN(num_bases=len(m.bases), dtype=dtype,
-                              upsample=m.upsample_features, s2d_factor=s2d_top)
+                              upsample=m.upsample_features, s2d_factor=s2d_top,
+                              input_prefolded=folded)
         self.rgb_net = RgbFeatureNet(dtype=dtype, upsample=m.upsample_features,
                                      s2d_factor=s2d_rgb)
         self.front_net = FrontFeatureNet(dtype=dtype,
@@ -129,7 +134,11 @@ class MV3DNet:
         """Initialize all subnet variables with correctly shaped dummies."""
         cfg = self.cfg
         k1, k2, k3, k4 = jax.random.split(key, 4)
-        top = jnp.zeros((1, *cfg.top_shape), jnp.float32)
+        xn, yn, tc = cfg.top_shape
+        if cfg.pipeline.view_layout == "s2d2":
+            top = jnp.zeros((1, xn // 2, yn // 2, 4 * tc), jnp.float32)
+        else:
+            top = jnp.zeros((1, xn, yn, tc), jnp.float32)
         rgb = jnp.zeros((1, *cfg.rgb_shape), jnp.float32)
         front = jnp.zeros((1, *cfg.front_shape), jnp.float32)
 
@@ -154,10 +163,24 @@ class MV3DNet:
         grid). Pass ``occ`` (the voxelizer's ``return_occ`` output) to avoid
         re-deriving the channel sum from the assembled view — without it XLA
         materializes a second f32 copy of the height volume (~1.8 ms/frame,
-        docs/PALLAS_NOTES.md)."""
+        docs/PALLAS_NOTES.md). Accepts the folded "s2d2" view too (occ is
+        then unfolded from the per-supercell channel groups)."""
+        cfg = self.cfg
+        xn, yn, tc = cfg.top_shape
+        if occ is None and top_view_frame.shape[:2] == (xn // 2, yn // 2):
+            # folded view: channels are [(dy,dx,s) x 4*zn, int x4, den x4];
+            # per-(dy,dx) channel sums unfold to the per-cell occupancy
+            zn = tc - 2
+            v = top_view_frame.astype(jnp.float32)
+            h4 = jnp.sum(v[..., :4 * zn].reshape(xn // 2, yn // 2, 4, zn),
+                         axis=-1)
+            occ4 = h4 + v[..., 4 * zn:4 * zn + 4] + v[..., 4 * zn + 4:]
+            occ = (occ4.reshape(xn // 2, yn // 2, 2, 2)
+                   .transpose(0, 2, 1, 3).reshape(xn, yn))
         return non_empty_anchor_mask_structured(
-            top_view_frame, self._bases_np, self.cfg.model.rpn_stride,
-            self._feat_shape, self.cfg.pipeline.remove_empty_thresh,
+            top_view_frame if occ is None else occ[..., None],
+            self._bases_np, cfg.model.rpn_stride,
+            self._feat_shape, cfg.pipeline.remove_empty_thresh,
             occ=occ)
 
     # -- feature extraction ---------------------------------------------------

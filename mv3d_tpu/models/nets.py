@@ -50,11 +50,13 @@ class TopRPN(nn.Module):
     num_bases: int
     upsample: bool = False
     s2d_factor: int = 0
+    input_prefolded: bool = False
     dtype: Dtype = jnp.bfloat16
 
     @nn.compact
     def __call__(self, top_view: jnp.ndarray, train: bool = False):
         x = ResnetTiny(s2d_factor=self.s2d_factor, dtype=self.dtype,
+                       input_prefolded=self.input_prefolded,
                        name="trunk")(top_view, train)
         x = ConvBnRelu(128, (1, 1), dtype=self.dtype, name="reduce")(x, train)
 

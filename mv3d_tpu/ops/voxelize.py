@@ -65,13 +65,19 @@ def _crop_mask(points: jnp.ndarray, cfg: Config,
 
 
 def _top_prep(points: jnp.ndarray, cfg: Config,
-              num_points: Optional[jnp.ndarray]):
+              num_points: Optional[jnp.ndarray], s2d: bool = False):
     """Per-frame point quantization shared by all top-view formulations.
 
     Returns (valid, cell, flat, val, refl): crop mask, per-point cell id
     (dump cell = n_cells for invalid), flat (cell*zn + s_eff) height-slice
     id with the inclusive-boundary redirect applied (dump = n_cells*zn),
     the slice height value, and reflectance.
+
+    ``s2d``: number cells in the folded 2x2 space-to-depth order
+    (supercell-major, (dy, dx)-minor) instead of row-major — a pure
+    permutation that makes the fused kernel's output BE the conv stem's
+    folded input, eliminating the downstream relayout entirely (see
+    fold_view_s2d2).
     """
     t = cfg.top
     xn, yn, zn = t.xn, t.yn, t.zn
@@ -86,7 +92,13 @@ def _top_prep(points: jnp.ndarray, cfg: Config,
 
     row = xn - 1 - qx
     col = yn - 1 - qy
-    cell = jnp.where(valid, row * yn + col, n_cells)        # dump cell
+    if s2d:
+        assert xn % 2 == 0 and yn % 2 == 0, (xn, yn)
+        supercell = (row // 2) * (yn // 2) + (col // 2)
+        cell_id = supercell * 4 + (row % 2) * 2 + (col % 2)
+    else:
+        cell_id = row * yn + col
+    cell = jnp.where(valid, cell_id, n_cells)               # dump cell
 
     s = jnp.minimum(jnp.floor(qz), zn - 1).astype(jnp.int32)
     frac = qz - s.astype(jnp.float32)
@@ -95,6 +107,27 @@ def _top_prep(points: jnp.ndarray, cfg: Config,
     val = jnp.where(valid, jnp.where(exact, 1.0, frac), 0.0)
     flat = jnp.where(valid, cell * zn + s_eff, n_cells * zn)
     return valid, cell, flat, val, refl
+
+
+def fold_view_s2d2(view: jnp.ndarray) -> jnp.ndarray:
+    """Standard (..., H, W, Zn+2) top view -> the folded "s2d2" layout
+    (..., H/2, W/2, (Zn+2)*4) produced by ``view_layout="s2d2"``.
+
+    Channel convention (NOT plain ``space_to_depth``; a fixed permutation of
+    it): [heights (dy, dx, s) -> 4*Zn] + [intensity (dy, dx) -> 4] +
+    [density (dy, dx) -> 4]. A fixed channel permutation is function-
+    equivalent for a conv stem (weights permute along), and this order lets
+    the fused voxelizer kernel emit the folded layout with NO relayout —
+    the fold is just a different static cell numbering.
+    """
+    *lead, h, w, c = view.shape
+    zn = c - 2
+    v = view.reshape(*lead, h // 2, 2, w // 2, 2, c)
+    v = jnp.moveaxis(v, -4, -3)                 # (..., h2, w2, 2, 2, c)
+    heights = v[..., :zn].reshape(*lead, h // 2, w // 2, 4 * zn)
+    inten = v[..., zn].reshape(*lead, h // 2, w // 2, 4)
+    dens = v[..., zn + 1].reshape(*lead, h // 2, w // 2, 4)
+    return jnp.concatenate([heights, inten, dens], axis=-1)
 
 
 def _occ_from_cells(heights2d, intensity, density, counts, cfg: Config):
@@ -112,7 +145,8 @@ def _occ_from_cells(heights2d, intensity, density, counts, cfg: Config):
     """
     if cfg.pipeline.remove_empty_thresh == 0.0:
         return counts.astype(jnp.float32)
-    return jnp.sum(heights2d, axis=1) + intensity + density
+    return (jnp.sum(heights2d.astype(jnp.float32), axis=-1)
+            + intensity + density)
 
 
 def lidar_to_top(points: jnp.ndarray, cfg: Config = _default_cfg,
@@ -295,26 +329,43 @@ def lidar_to_top_batch(points: jnp.ndarray, cfg: Config = _default_cfg,
         xn, yn, zn = t.xn, t.yn, t.zn
         n_cells = xn * yn
         bsz = points.shape[0]
+        s2d = (cfg.pipeline.view_layout == "s2d2"
+               and xn % 2 == 0 and yn % 2 == 0)
         if num_points is None:
             _, _, flat, val, refl = jax.vmap(
-                lambda p: _top_prep(p, cfg, None))(points)
+                lambda p: _top_prep(p, cfg, None, s2d=s2d))(points)
         else:
             _, _, flat, val, refl = jax.vmap(
-                lambda p, m: _top_prep(p, cfg, m))(points, num_points)
+                lambda p, m: _top_prep(p, cfg, m, s2d=s2d))(points, num_points)
         view_dtype = jnp.dtype(cfg.pipeline.top_view_dtype)
         heights, counts, intensity = scatter_top_fused_batched(
             flat, val, jnp.where(flat < n_cells * zn, refl, 0.0),
             n_cells, zn, order=cfg.pipeline.voxel_order,
             heights_dtype=view_dtype)
         density = jnp.minimum(1.0, jnp.log(counts + 1.0) / math.log(32))
+        if s2d:
+            # cells are already in folded order: the kernel output IS the
+            # conv stem's input — reshapes below are layout-preserving
+            h2, w2 = xn // 2, yn // 2
+            top = jnp.concatenate(
+                [heights.reshape(bsz, h2, w2, 4 * zn),
+                 intensity.reshape(bsz, h2, w2, 4).astype(view_dtype),
+                 density.reshape(bsz, h2, w2, 4).astype(view_dtype)],
+                axis=-1)
+            if return_occ:
+                occ = _occ_from_cells(heights.reshape(bsz, n_cells, zn),
+                                      intensity, density, counts, cfg)
+                occ = (occ.reshape(bsz, h2, w2, 2, 2)
+                       .transpose(0, 1, 3, 2, 4).reshape(bsz, xn, yn))
+                return top, occ
+            return top
         heights2d = heights.reshape(bsz, n_cells, zn)
         top = jnp.concatenate(
             [heights2d, intensity[:, :, None].astype(view_dtype),
              density[:, :, None].astype(view_dtype)], axis=2)
         top = top.reshape(bsz, xn, yn, zn + 2)
         if return_occ:
-            occ = jax.vmap(partial(_occ_from_cells, cfg=cfg))(
-                heights2d, intensity, density, counts)
+            occ = _occ_from_cells(heights2d, intensity, density, counts, cfg)
             return top, occ.reshape(bsz, xn, yn)
         return top
 

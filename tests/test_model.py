@@ -162,3 +162,47 @@ def test_siamese_fusion_mode(rng):
     r = jnp.asarray([[10.0, 20.0, 30.0, 60.0]])
     e = np.asarray(enlarge_rois(r, 1.5))
     np.testing.assert_allclose(e, [[5.0, 10.0, 35.0, 70.0]])
+
+
+def test_s2d2_view_layout_function_equivalence(rng):
+    """A model on the folded (view_layout=s2d2) view with stem weights
+    permuted by the fixed channel map equals the standard model on the
+    standard view — the fold is function-preserving for a conv stem."""
+    from mv3d_tpu.ops.voxelize import fold_view_s2d2
+
+    f32 = dataclasses.replace(
+        CFG, model=dataclasses.replace(CFG.model, compute_dtype="float32"))
+    folded_cfg = dataclasses.replace(
+        f32, pipeline=dataclasses.replace(f32.pipeline, view_layout="s2d2"))
+
+    m_std = MV3DNet(f32)
+    m_fold = MV3DNet(folded_cfg)
+    var_std = m_std.init_variables(jax.random.PRNGKey(3))
+    var_fold = jax.tree.map(lambda x: x, var_std)
+
+    # folded channel j -> s2d(view) channel index (see fold_view_s2d2)
+    zn = CFG.top.zn
+    perm = np.empty(4 * (zn + 2), np.int64)
+    for j in range(4 * zn):
+        dydx, s = divmod(j, zn)
+        perm[j] = dydx * (zn + 2) + s
+    for a in range(2):                      # intensity, density groups
+        for dydx in range(4):
+            perm[4 * zn + 4 * a + dydx] = dydx * (zn + 2) + zn + a
+    stem = var_std[TOP_VIEW_RPN]["params"]["trunk"]["ConvBnRelu_0"]["Conv_0"]
+    fold_params = jax.tree.map(lambda x: x, var_fold[TOP_VIEW_RPN])
+    fold_params["params"]["trunk"]["ConvBnRelu_0"]["Conv_0"] = {
+        **stem, "kernel": stem["kernel"][:, :, perm, :]}
+    var_fold[TOP_VIEW_RPN] = fold_params
+
+    top = (rng.rand(1, *CFG.top_shape).astype(np.float32) * 0.1)
+    out_std = m_std.top_rpn.apply(var_std[TOP_VIEW_RPN], jnp.asarray(top),
+                                  False)
+    out_fold = m_fold.top_rpn.apply(var_fold[TOP_VIEW_RPN],
+                                    fold_view_s2d2(jnp.asarray(top)), False)
+    np.testing.assert_allclose(np.asarray(out_std["scores"]),
+                               np.asarray(out_fold["scores"]),
+                               rtol=0, atol=2e-4)
+    np.testing.assert_allclose(np.asarray(out_std["features"]),
+                               np.asarray(out_fold["features"]),
+                               rtol=0, atol=2e-4)

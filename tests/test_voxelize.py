@@ -313,3 +313,23 @@ def test_bf16_view_dtype_is_rounded_f32(rng):
         np.asarray(top16.astype(jnp.float32)))
     # occupancy (counts proxy) is dtype-independent
     np.testing.assert_array_equal(np.asarray(occ32), np.asarray(occ16))
+
+
+def test_s2d2_view_layout_is_folded_hwc(rng):
+    """view_layout=s2d2 output == fold_view_s2d2(standard view) bit-exactly
+    (the fold is a pure cell renumbering, not a recomputation), and the
+    occupancy is identical."""
+    pts = make_cloud(rng, 3000, SMALL)
+    padded, _ = voxelize.pad_points(pts, 8192)
+    batch = np.stack([padded, padded])
+    base = dataclasses.replace(SMALL, pipeline=dataclasses.replace(
+        SMALL.pipeline, use_pallas_fused=True))
+    fold = dataclasses.replace(SMALL, pipeline=dataclasses.replace(
+        SMALL.pipeline, use_pallas_fused=True, view_layout="s2d2"))
+    top_h, occ_h = voxelize.lidar_to_top_batch(batch, base, return_occ=True)
+    top_f, occ_f = voxelize.lidar_to_top_batch(batch, fold, return_occ=True)
+    t = SMALL.top
+    assert top_f.shape == (2, t.xn // 2, t.yn // 2, (t.zn + 2) * 4)
+    np.testing.assert_array_equal(
+        np.asarray(voxelize.fold_view_s2d2(top_h)), np.asarray(top_f))
+    np.testing.assert_array_equal(np.asarray(occ_h), np.asarray(occ_f))
