@@ -319,6 +319,10 @@ def lidar_to_top_batch(points: jnp.ndarray, cfg: Config = _default_cfg,
 
     ``return_occ``: also return the (B, Xn, Yn) occupancy mass for the
     empty-anchor filter (see :func:`lidar_to_top`)."""
+    if aux is not None and cfg.pipeline.view_layout == "s2d2":
+        raise ValueError(
+            "view_layout='s2d2' computes all channels in-graph (fused "
+            "kernel); host aux planes are not supported in this layout")
     if aux is None and cfg.pipeline.use_pallas_fused:
         # native-batch kernel path: vmap of a scalar-prefetch pallas_call
         # degrades to a sequential while loop with per-frame output assembly

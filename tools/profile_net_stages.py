@@ -71,7 +71,7 @@ def main():
         rng.rand(B, *cfg.rgb_shape).astype(np.float32)))
         for _ in range(N_DIST)]
 
-    def forward(variables, top, rgb, front, *, no_rcnn_nms=False,
+    def forward(variables, top, rgb, front, *, occ=None, no_rcnn_nms=False,
                 no_fusion=False, no_proposal=False, no_anchmask=False,
                 traced_ones_mask=False, no_interleave=False,
                 rpn_only=False):
@@ -86,8 +86,8 @@ def main():
         rpn = outs["rpn"]
         n_r = cfg.rpn.nms_post_topn
 
-        def per_frame(top_i, scores_i, deltas_i, feat_top_i, feat_rgb_i,
-                      feat_front_i):
+        def per_frame(top_i, occ_i, scores_i, deltas_i, feat_top_i,
+                      feat_rgb_i, feat_front_i):
             if no_anchmask:
                 inside = jnp.ones(model.anchors.shape[0], bool)
             elif traced_ones_mask:
@@ -119,7 +119,7 @@ def main():
                     acc = m if acc is None else (acc | m)
                 inside = jnp.full(model.anchors.shape[0], acc.any())
             else:
-                inside = model.anchor_mask(top_i)
+                inside = model.anchor_mask(top_i, occ=occ_i)
             if no_proposal:
                 rois = jnp.concatenate(
                     [jnp.zeros((n_r, 1), jnp.float32),
@@ -144,11 +144,12 @@ def main():
 
         frgb = outs.get("rgb_features")
         ffront = outs.get("front_features")
-        in_axes = (0, 0, 0, 0,
+        in_axes = (0, 0 if occ is not None else None, 0, 0, 0,
                    0 if frgb is not None else None,
                    0 if ffront is not None else None)
         props, rois3d, pooled = jax.vmap(per_frame, in_axes=in_axes)(
-            top, rpn["scores"], rpn["deltas"], rpn["features"], frgb, ffront)
+            top, occ, rpn["scores"], rpn["deltas"], rpn["features"],
+            frgb, ffront)
 
         b, r = props.rois.shape[0], props.rois.shape[1]
         if no_fusion or rpn_only:
@@ -169,9 +170,9 @@ def main():
         return dets.boxes3d, dets.probs, dets.mask
 
     def pipeline(variables, points, rgb, **toggles):
-        top = voxelize.lidar_to_top_batch(points, cfg)
+        top, occ = voxelize.lidar_to_top_batch(points, cfg, return_occ=True)
         front = voxelize.lidar_to_front_batch(points, cfg)
-        return forward(variables, top, rgb, front, **toggles)
+        return forward(variables, top, rgb, front, occ=occ, **toggles)
 
     variants = [
         ("full", {}),
