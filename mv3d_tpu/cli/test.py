@@ -11,7 +11,9 @@ Subcommands:
                    label png (non-interactive version of ref test.py:223-290)
   test_front       dump front-view arrays + pngs (ref test.py:292-350)
   probe_rpn        annotated proposal/gt images per frame (non-interactive
-                   version of the stdin probes, ref test.py:58-183)
+                   version of the stdin probes, ref test.py:58-183; with
+                   --kitti-raw/--date/--drive it walks a raw drive like the
+                   reference's raw-dataset probe, ref test.py:58-99)
 """
 
 from __future__ import annotations
@@ -31,7 +33,13 @@ def parse_args(argv=None):
     ap.add_argument("--proposal-dir", default="",
                     help="test_3dop: dir of <tag>_rois3d.npy proposals")
     ap.add_argument("-n", "--tag", default="unknown_tag")
-    ap.add_argument("--kitti-object", required=True)
+    ap.add_argument("--kitti-object", default="",
+                    help="KITTI object dataset root (default source)")
+    ap.add_argument("--kitti-raw", default="",
+                    help="KITTI raw root: probe a raw drive instead of the "
+                         "object dataset (with --date/--drive)")
+    ap.add_argument("--date", default="2011_09_26")
+    ap.add_argument("--drive", default="0005")
     ap.add_argument("--split", default="")
     ap.add_argument("--out-dir", default="test_output")
     ap.add_argument("--checkpoint-dir", default="checkpoint")
@@ -49,11 +57,17 @@ def main(argv=None):
 
     from .common import resolve_config
     cfg = resolve_config(args)
-    from ..data.kitti import KittiObjectDataset
+    from ..data.kitti import KittiObjectDataset, KittiRawDataset
     from ..data.loader import frames_to_batch
     from ..train.trainer import Predictor
 
-    ds = KittiObjectDataset(args.kitti_object, split_file=args.split, cfg=cfg)
+    if args.kitti_raw:
+        ds = KittiRawDataset(args.kitti_raw, args.date, args.drive, cfg)
+    else:
+        if not args.kitti_object:
+            raise SystemExit("one of --kitti-object / --kitti-raw is required")
+        ds = KittiObjectDataset(args.kitti_object, split_file=args.split,
+                                cfg=cfg)
     needs_weights = args.command in ("test_rpn", "test_mv3d",
                                      "test_single_mv3d", "export_kitti",
                                      "test_3dop", "probe_rpn")

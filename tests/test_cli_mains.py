@@ -223,6 +223,30 @@ def test_probe_subcommands(kitti_object_root, tmp_path):
     test_cli.main(["probe_rpn", "--out-dir", out_p] + common)
     assert os.path.exists(os.path.join(out_p, "000000", "top.png"))
 
+    # raw-drive source (the reference's raw-dataset probe, test.py:58-99)
+    from mv3d_tpu.data import tracklets
+    base = tmp_path / "raw" / "2011_09_26" / "2011_09_26_drive_0005_sync"
+    os.makedirs(base / "velodyne_points" / "data")
+    os.makedirs(base / "image_02" / "data")
+    from PIL import Image
+    r = np.random.RandomState(0)
+    pts = np.stack([r.uniform(0, 16, 2000), r.uniform(-6, 6, 2000),
+                    r.uniform(-4, 0.8, 2000), r.uniform(0, 1, 2000)],
+                   1).astype(np.float32)
+    pts.tofile(base / "velodyne_points" / "data" / "0000000000.bin")
+    Image.fromarray(np.zeros((64, 96, 3), np.uint8)).save(
+        base / "image_02" / "data" / "0000000000.png")
+    t = tracklets.Tracklet("Car", 1.5, 1.6, 4.0, first_frame=0)
+    t.poses.append({"tx": 8.0, "ty": 1.0, "tz": -1.5,
+                    "rx": 0.0, "ry": 0.0, "rz": 0.2})
+    tracklets.write_tracklets(str(base / "tracklet_labels.xml"), [t])
+    out_r = str(tmp_path / "probe_raw")
+    test_cli.main(["probe_rpn", "--out-dir", out_r, "--limit", "1",
+                   "--kitti-raw", str(tmp_path / "raw"),
+                   "--date", "2011_09_26", "--drive", "0005",
+                   "--checkpoint-dir", ckpt, "--config", cfgfile])
+    assert os.path.exists(os.path.join(out_r, "000000", "top.png"))
+
     # external proposals for test_3dop
     prop = tmp_path / "props"
     prop.mkdir()
