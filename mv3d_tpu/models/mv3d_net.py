@@ -20,7 +20,7 @@ staged-training and mix-and-match per-subnet checkpointing (mv3d.py:117-161).
 from __future__ import annotations
 
 from functools import partial
-from typing import Any, Dict, NamedTuple, Optional, Tuple
+from typing import Any, Dict, Optional, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -28,8 +28,7 @@ import numpy as np
 
 from ..config import Config, cfg as _default_cfg
 from ..ops import boxes3d as box3d_ops
-from ..ops.anchors import (anchor_setup, mv3d_car_bases,
-                           non_empty_anchor_mask,
+from ..ops.anchors import (anchor_setup,
                            non_empty_anchor_mask_structured)
 from ..ops.detect import Detections, rcnn_nms
 from ..ops.proposal import Proposals, rpn_proposals

@@ -24,7 +24,6 @@ from typing import Optional, Tuple
 
 import jax
 import jax.numpy as jnp
-import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
@@ -142,15 +141,15 @@ def bin_points_by_tile(flat: jnp.ndarray, payloads, tile_span: int,
                        n_tiles: int, sentinel: int):
     """Stable counting-permutation of points into tile buckets.
 
-    MEASURED RESULT (round 2, v5e, e2e): SLOWER than ``jax.lax.sort`` — the
-    sort costs 3.6 ms/frame, but this permutation's *placement* step (one
-    65k-element permutation scatter + gathers, or three scatters) hits the
-    same per-element serialization that makes TPU scatters slow in the first
-    place (sort-mode e2e 101.6 fps vs 90.0/80.6 fps for the two placement
-    variants). Kept as a correct, tested alternative (pipeline.voxel_order =
-    "bin") and as documentation of the dead end; a VMEM-resident Pallas
-    bitonic sorter is the remaining path to beating lax.sort
-    (docs/PALLAS_NOTES.md roadmap).
+    MEASURED RESULT (round 2, v5e, e2e): SLOWER than ``jax.lax.sort`` — this
+    permutation's *placement* step (one 65k-element permutation scatter +
+    gathers, or three scatters) hits the same per-element serialization that
+    makes TPU scatters slow in the first place (sort-mode e2e 101.6 fps vs
+    90.0/80.6 fps for the two placement variants). The device trace later
+    showed the batched lax.sort is in fact nearly free (~0.08 ms/frame,
+    docs/PALLAS_NOTES.md), so there is nothing left to beat. Kept as a
+    correct, tested alternative (pipeline.voxel_order="bin") and as
+    documentation of the dead end.
 
     Why grouping is sufficient (no full sort needed): the sweep kernel only
     needs points GROUPED by output tile, and within a bucket the scan's
