@@ -206,3 +206,33 @@ def test_s2d2_view_layout_function_equivalence(rng):
     np.testing.assert_allclose(np.asarray(out_std["features"]),
                                np.asarray(out_fold["features"]),
                                rtol=0, atol=2e-4)
+
+
+def test_s2d2_training_step_runs(rng):
+    """forward_train works end-to-end on the folded view layout (the batch
+    carries top+top_occ from the voxelizer; anchor filter consumes occ)."""
+    import jax.numpy as jnp
+
+    from mv3d_tpu.ops import voxelize
+
+    cfg = dataclasses.replace(CFG, pipeline=dataclasses.replace(
+        CFG.pipeline, use_pallas_fused=True, view_layout="s2d2"))
+    model = MV3DNet(cfg)
+    variables = model.init_variables(jax.random.PRNGKey(0))
+    b = make_batch(np.random.RandomState(0))
+    pts = np.stack([np.random.RandomState(1).uniform(0, 16, (1, 2048)),
+                    np.random.RandomState(2).uniform(-6, 6, (1, 2048)),
+                    np.random.RandomState(3).uniform(-4.2, 0.8, (1, 2048)),
+                    np.random.RandomState(4).uniform(0, 1, (1, 2048))],
+                   -1).astype(np.float32)
+    top, occ = voxelize.lidar_to_top_batch(jnp.asarray(pts), cfg,
+                                           return_occ=True)
+    batch = {"top": top, "top_occ": occ,
+             "rgb": jnp.asarray(b["rgb"]), "front": jnp.asarray(b["front"]),
+             "gt_boxes3d": jnp.asarray(b["gt_boxes3d"]),
+             "gt_labels": jnp.asarray(b["gt_labels"]),
+             "gt_mask": jnp.asarray(b["gt_mask"])}
+    loss_dict, aux = jax.jit(model.forward_train)(
+        variables, batch, jax.random.PRNGKey(1))
+    for k, v in loss_dict.items():
+        assert np.isfinite(float(v)), (k, v)
