@@ -33,13 +33,29 @@ from ..utils import Logger, Timer
 from .checkpoint import SubnetCheckpointer, load_progress, save_progress
 
 
+def _as_jnp(v):
+    """jnp.asarray that passes through the "s2d2p" (heights, aux) pair."""
+    if isinstance(v, (tuple, list)):
+        return tuple(_as_jnp(x) for x in v)
+    return jnp.asarray(v)
+
+
 def _prepare_views(batch: Dict[str, jnp.ndarray], cfg: Config
                    ) -> Dict[str, jnp.ndarray]:
-    """Fill in top/front views from raw points if not precomputed (in-graph)."""
+    """Fill in top/front views from raw points if not precomputed (in-graph).
+
+    Accepts quantized transfer batches (``points_q``/``refl_q`` from a
+    ``stream_quantized`` loader): dequantization happens here, in-graph."""
     if "top" not in batch:
-        pts = batch["points"]
-        num = batch.get("num_points")
         batch = dict(batch)
+        if "points_q" in batch:
+            from ..ops.quantize import dequantize_points
+            pts = dequantize_points(batch.pop("points_q"),
+                                    batch.pop("refl_q"), cfg)
+            batch["points"] = pts
+        else:
+            pts = batch["points"]
+        num = batch.get("num_points")
         batch["top"], batch["top_occ"] = lidar_to_top_batch(
             pts, cfg, num, aux=batch.pop("top_aux", None), return_occ=True)
         batch["front"] = lidar_to_front_batch(pts, cfg, num)
@@ -151,10 +167,16 @@ class MV3D:
         """
         if score_threshold is None:
             score_threshold = self.cfg.rcnn.score_threshold
-        top = jnp.asarray(top_view)[None] if top_view.ndim == 3 else jnp.asarray(top_view)
-        rgb = jnp.asarray(rgb_image)[None] if rgb_image.ndim == 3 else jnp.asarray(rgb_image)
-        front = (jnp.asarray(front_view)[None] if front_view.ndim == 3
-                 else jnp.asarray(front_view))
+
+        def batchify(v):
+            if isinstance(v, (tuple, list)):    # "s2d2p" (heights, aux) pair
+                return tuple(batchify(x) for x in v)
+            a = jnp.asarray(v)
+            return a[None] if a.ndim == 3 else a
+
+        top = batchify(top_view)
+        rgb = batchify(rgb_image)
+        front = batchify(front_view)
         dets, _ = self._infer(self.variables, top, rgb, front,
                               jnp.float32(score_threshold))
         mask = np.asarray(dets.mask[0])
@@ -238,8 +260,21 @@ class Trainer(MV3D):
                 lambda _: "train" if n in self.train_targets else "freeze",
                 params[n]) for n in params}
 
+        # LR schedule (reference: constant Adam, mv3d.py:757,849;
+        # "cosine" adds linear warmup + cosine decay — TrainConfig)
+        tc = cfg.train
+        if tc.lr_schedule == "cosine":
+            schedule = optax.warmup_cosine_decay_schedule(
+                init_value=0.0 if tc.warmup_steps else lr,
+                peak_value=lr, warmup_steps=tc.warmup_steps,
+                decay_steps=max(tc.decay_steps, tc.warmup_steps + 1),
+                end_value=lr * tc.lr_end_factor)
+        elif tc.lr_schedule == "constant":
+            schedule = lr
+        else:
+            raise ValueError(f"unknown lr_schedule {tc.lr_schedule!r}")
         self.optimizer = optax.multi_transform(
-            {"train": optax.adam(lr), "freeze": optax.set_to_zero()},
+            {"train": optax.adam(schedule), "freeze": optax.set_to_zero()},
             label_params)
         params = {n: self.variables[n]["params"] for n in SUBNET_NAMES}
         self.opt_state = self.optimizer.init(params)
@@ -261,6 +296,11 @@ class Trainer(MV3D):
         optimizer = self.optimizer
 
         def step_fn(variables, opt_state, batch, key, do_optimize: bool):
+            if do_optimize:
+                # in-graph flip/rotate of points + gt (no-op when disabled)
+                from .augment import augment_batch
+                key, ak = jax.random.split(key)
+                batch = augment_batch(batch, ak, config)
             batch = _prepare_views(batch, config)
             params = {n: variables[n]["params"] for n in SUBNET_NAMES}
             stats = {n: variables[n].get("batch_stats") for n in SUBNET_NAMES}
@@ -313,11 +353,45 @@ class Trainer(MV3D):
             gt_boxes3d=np.asarray(batch["gt_boxes3d"][0])[gm],
             det_boxes3d=boxes3d, cfg=self.cfg)
 
+    def validation_iou(self, batch: Dict[str, np.ndarray]) -> float:
+        """Online detection-quality signal: run inference on a validation
+        batch and score predictions vs gt with the yaw-aware 3D IoU.
+
+        Parity: the reference computes ``boxes3d_score_iou`` against gt on
+        its validation interleave and logs it (mv3d.py:945-954 via
+        boxes3d.py:517-541). Frames without positive gt are skipped; returns
+        the mean over the batch (0.0 if no scorable frame).
+        """
+        from ..ops.boxes3d import boxes3d_score_iou
+        thresh = jnp.float32(self.cfg.rcnn.score_threshold)
+        if "points" in batch and "top" not in batch:
+            pts = jnp.asarray(batch["points"])
+            num = batch.get("num_points")
+            num = (jnp.asarray(num, jnp.int32) if num is not None
+                   else jnp.full((pts.shape[0],), pts.shape[1], jnp.int32))
+            dets, _ = self._infer_points(self.variables, pts, num,
+                                         jnp.asarray(batch["rgb"]), thresh)
+        else:
+            dets, _ = self._infer(self.variables, _as_jnp(batch["top"]),
+                                  jnp.asarray(batch["rgb"]),
+                                  jnp.asarray(batch["front"]), thresh)
+        det_mask = np.asarray(dets.mask)
+        det_boxes = np.asarray(dets.boxes3d)
+        gt3d = np.asarray(batch["gt_boxes3d"])
+        gm = np.asarray(batch["gt_mask"]) & (np.asarray(batch["gt_labels"]) > 0)
+        ious = []
+        for i in range(det_boxes.shape[0]):
+            gt = gt3d[i][gm[i]]
+            if len(gt) == 0:
+                continue
+            ious.append(boxes3d_score_iou(gt, det_boxes[i][det_mask[i]],
+                                          self.cfg))
+        return float(np.mean(ious)) if ious else 0.0
+
     def fit_iteration(self, batch: Dict[str, np.ndarray],
                       is_validation: bool = False) -> Dict[str, float]:
         """One optimization (or validation) step on a host batch dict."""
-        batch = {k: jnp.asarray(v) for k, v in batch.items()
-                 if k != "tags"}
+        batch = {k: _as_jnp(v) for k, v in batch.items() if k != "tags"}
         step = self._eval_step if is_validation else self._train_step
         self.variables, self.opt_state, loss_dict = step(
             self.variables, self.opt_state, batch, self._next_key())
@@ -346,11 +420,15 @@ class Trainer(MV3D):
                 continue
             last = self.fit_iteration(batch, is_validation=is_validation)
             step_name = "validation" if is_validation else "training"
-            self.log.write(
-                "%10s: %5d  %0.5f  %0.5f  |  %0.5f  %0.5f\n" % (
-                    step_name, it,
-                    last["top_cls_loss"], last["top_reg_loss"],
-                    last["fuse_cls_loss"], last["fuse_reg_loss"]))
+            line = "%10s: %5d  %0.5f  %0.5f  |  %0.5f  %0.5f" % (
+                step_name, it,
+                last["top_cls_loss"], last["top_reg_loss"],
+                last["fuse_cls_loss"], last["fuse_reg_loss"])
+            if is_validation:
+                # online 3D-IoU of predictions vs gt (mv3d.py:945-954)
+                last["iou"] = self.validation_iou(batch)
+                line += "  |  iou %0.5f" % last["iou"]
+            self.log.write(line + "\n")
             self.metrics.write(it, last, phase=step_name)
             if (self.debug_image_every and it > 0 and
                     it % self.debug_image_every == 0 and "points" in batch):
@@ -551,14 +629,16 @@ class TesterRPN(MV3D):
         if load:
             self.load_weights(["top_view_rpn"])
 
-        from ..ops.anchors import non_empty_anchor_mask
         from ..ops.proposal import rpn_proposals
         model, config = self.model, self.cfg
 
         def _rpn(variables, top):
             out = model.top_rpn.apply(variables["top_view_rpn"], top, False)
-            inside = non_empty_anchor_mask(
-                top[0], model.anchors, config.pipeline.remove_empty_thresh)
+            # model.anchor_mask handles BOTH view layouts ("hwc" and the
+            # folded "s2d2") — the generic non_empty_anchor_mask assumes an
+            # unfolded (H, W, C) view and would silently compute a wrong
+            # occupancy on the folded serving layout
+            inside = model.anchor_mask(top[0])
             props = rpn_proposals(out["scores"][0], out["deltas"][0],
                                   model.anchors, inside, config)
             return props, out["score_map"]

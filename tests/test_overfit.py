@@ -36,13 +36,21 @@ def test_overfit_single_frame(tmp_path):
                  log_tag="overfit", checkpoint_dir=str(tmp_path / "c"),
                  log_dir=str(tmp_path / "l"), lr=2e-3)
     first = tr.fit_iteration(ds.load())
+    iou_untrained = tr.validation_iou(ds.load())
     for _ in range(85):
         last = tr.fit_iteration(ds.load())
+    iou_trained = tr.validation_iou(ds.load())
 
     # losses converge hard on a single frame
     assert last["top_cls_loss"] < first["top_cls_loss"] * 0.5
     assert last["fuse_cls_loss"] < max(first["fuse_cls_loss"] * 0.5, 0.05)
     assert np.isfinite(list(last.values())).all()
+
+    # ...and the online detection-quality signal moves the right way: the
+    # trained model's 3D IoU vs gt beats the untrained one (the strongest
+    # accuracy-parity proxy available without a real dataset)
+    assert iou_trained > iou_untrained, (iou_untrained, iou_trained)
+    assert iou_trained > 0.0
 
     # the trained RPN localizes the carved region in EVAL mode: the
     # highest-probability anchor overlaps a gt top box

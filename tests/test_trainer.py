@@ -114,6 +114,28 @@ def test_trainer_loop_runs(tmp_path, dataset):
     assert tr.checkpointers[TOP_VIEW_RPN].latest_step() is not None
 
 
+def test_validation_rows_report_online_iou(tmp_path, dataset):
+    """Validation steps compute the online 3D-IoU of predictions vs gt and
+    write it to the log + metrics JSONL (parity: mv3d.py:945-954)."""
+    import dataclasses
+    import json
+    cfg = dataclasses.replace(CFG, train=dataclasses.replace(
+        CFG.train, validation_every=2))
+    tr = Trainer(dataset, validation_set=dataset,
+                 train_targets=[TOP_VIEW_RPN], cfg=cfg, log_tag="tiou",
+                 checkpoint_dir=str(tmp_path / "ckpt"),
+                 log_dir=str(tmp_path / "log"))
+    tr(max_iter=3)
+    with open(tr.metrics.path) as f:
+        recs = [json.loads(l) for l in f]
+    val = [r for r in recs if r["phase"] == "validation"]
+    assert val, "no validation rows written"
+    for r in val:
+        assert "iou" in r and 0.0 <= r["iou"] <= 1.0
+    train_rows = [r for r in recs if r["phase"] == "training"]
+    assert all("iou" not in r for r in train_rows)
+
+
 def test_trainer_consumes_loader_batches(tmp_path):
     """Integration: Trainer trains from real BatchLoader batches (points +
     host aux channels + tags present)."""
