@@ -208,6 +208,11 @@ class PipelineConfig:
     # the prefetch loader, overlapped with device compute) while the TPU does
     # the 25 height channels in-graph. False = everything on device.
     host_aux_channels: bool = True
+    # serving transfer diet: the loader ships uint16 fixed-point xyz + uint8
+    # reflectance (7 bytes/point vs 16) and the device dequantizes in-graph
+    # (ops/quantize.py — documented sub-mm deviation). f32 stays the default
+    # bit-parity path.
+    stream_quantized: bool = False
     # use the Pallas sorted-segment kernel (ops/voxelize_pallas.py) for the
     # height-channel scatter: ~7% faster end-to-end on TPU v5e. Off by
     # default because the kernel runs in (slow) interpret mode on CPU.
@@ -222,15 +227,24 @@ class PipelineConfig:
     # permutation; measured SLOWER, 80-90 fps — the permutation placement
     # itself hits TPU's per-element scatter/gather serialization)
     voxel_order: str = "sort"
+    # inner-loop body of the fused sweep: "rmw" (per-point VMEM
+    # read-modify-writes, the round-2 kernel) or "regcache" (loop-carried
+    # vreg accumulators flushed on block transitions). Measured on v5e
+    # round 3: rmw is FASTER e2e (the regcache variants' two branches per
+    # point cost more than the saved VMEM traffic) — see docs/PALLAS_NOTES.md
+    sweep_kernel: str = "rmw"
     # dtype of the assembled top view on the fused in-graph path:
     # "float32" (oracle-exact, default) or "bfloat16" (serving: the trunks
     # convert to bf16 anyway, so the network sees identical values while the
     # kernel skips the f32->bf16 convert + assembly pass, ~0.85 ms/frame)
     top_view_dtype: str = "float32"
     # layout of the fused in-graph top view: "hwc" (standard (H, W, Zn+2),
-    # default) or "s2d2" ((H/2, W/2, (Zn+2)*4) folded 2x2 space-to-depth
-    # order, emitted by the kernel with NO relayout — requires the trunk's
-    # stem_space_to_depth and even grid dims; see ops/voxelize.fold_view_s2d2)
+    # default), "s2d2" ((H/2, W/2, (Zn+2)*4) folded 2x2 space-to-depth), or
+    # "s2d2p" (lane-padded fold: a (heights (H/2, W2P, 128), aux (H/2, W2P,
+    # 8)) PAIR whose heights plane is the fused kernel's block output
+    # bitcast — zero relayout — consumed by ResnetTiny's split stem; needs
+    # 4*Zn <= 128). Folded layouts require the trunk's stem_space_to_depth
+    # and even grid dims; see ops/voxelize.fold_view_s2d2 / fold_view_s2d2p
     view_layout: str = "hwc"
     max_gt: int = 32                   # padded ground-truth boxes per frame
     remove_empty_thresh: float = 0.0   # cfg.REMOVE_THRES
@@ -248,6 +262,21 @@ class TrainConfig:
     validation_every: int = 10         # validation_step (mv3d.py:991)
     summary_every: int = 200           # summary_step
 
+    # -- learning-rate schedule (the reference trains constant Adam 1e-3,
+    # mv3d.py:757,849; with real batching a warmup+cosine schedule is the
+    # standard TPU improvement — "constant" preserves reference behavior)
+    lr_schedule: str = "constant"      # "constant" | "cosine"
+    warmup_steps: int = 0              # linear warmup 0 -> lr
+    decay_steps: int = 100_000         # cosine horizon (lr_schedule="cosine")
+    lr_end_factor: float = 0.01        # final lr = lr * lr_end_factor
+
+    # -- data augmentation (absent in the reference; the MV3D paper trains
+    # with per-frame flips and global yaw rotations). Applied IN-GRAPH to
+    # raw points + gt corners before voxelization, training steps only, and
+    # only for raw-point batches (precomputed views cannot be re-voxelized).
+    aug_flip_prob: float = 0.0         # P(mirror y -> -y)
+    aug_rotate_rad: float = 0.0        # global yaw ~ U(-a, a) about z
+
 
 @dataclass(frozen=True)
 class Config:
@@ -261,6 +290,12 @@ class Config:
     train: TrainConfig = field(default_factory=TrainConfig)
     image_width: int = 1242            # KITTI (config.py:149-151)
     image_height: int = 375
+    # camera-image crop (didi: sky/hood removal, reference config.py:126-140);
+    # rgb_shape and the didi rgb projection account for it
+    image_crop_left: int = 0
+    image_crop_right: int = 0
+    image_crop_top: int = 0
+    image_crop_bottom: int = 0
     tracklet_gt_scale: float = 1.6     # cfg.TRACKLET_GTBOX_LENGTH_SCALE
 
     # -- calibration ---------------------------------------------------------
@@ -291,7 +326,12 @@ class Config:
 
     @property
     def rgb_shape(self) -> Tuple[int, int, int]:
-        return (self.image_height, self.image_width, 3)
+        # the network consumes the CROPPED camera image (reference crops
+        # sky/hood rows on the didi path, config.py:126-140)
+        return (self.image_height - self.image_crop_top
+                - self.image_crop_bottom,
+                self.image_width - self.image_crop_left
+                - self.image_crop_right, 3)
 
     def top_feature_shape(self, stride: Optional[int] = None) -> Tuple[int, int]:
         """Feature-map (H, W) at a given stride (reference mv3d.py:68-69)."""
@@ -318,7 +358,9 @@ def didi_config(**overrides: Any) -> Config:
     top = TopGrid(x_min=-45, x_max=45, y_min=-10, y_max=10,
                   z_min=-3.0, z_max=0.7, x_div=0.2, y_div=0.2, z_div=0.3)
     return replace(Config(dataset_type="didi", top=top,
-                          image_width=1368, image_height=1096), **overrides)
+                          image_width=1368, image_height=1096,
+                          image_crop_top=400, image_crop_bottom=100),
+                   **overrides)
 
 
 def didi2_config(**overrides: Any) -> Config:
@@ -326,7 +368,9 @@ def didi2_config(**overrides: Any) -> Config:
     top = TopGrid(x_min=-50, x_max=50, y_min=-30, y_max=30,
                   z_min=-3.5, z_max=0.6, x_div=0.2, y_div=0.2, z_div=0.3)
     return replace(Config(dataset_type="didi2", top=top,
-                          image_width=1368, image_height=1096), **overrides)
+                          image_width=1368, image_height=1096,
+                          image_crop_top=400, image_crop_bottom=100),
+                   **overrides)
 
 
 _PRESETS = {"kitti": kitti_config, "didi": didi_config, "didi2": didi2_config}
