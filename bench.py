@@ -211,6 +211,48 @@ def main():
             f"this bench host the chip sits behind a network relay; a "
             f"PCIe-attached host moves the same bytes in <1 ms]")
 
+        # quantized transfer diet (pipeline.stream_quantized): uint16 xyz +
+        # uint8 reflectance, dequantized in-graph (ops/quantize.py) — 7/16
+        # the point bytes over the same link
+        from mv3d_tpu.ops.quantize import dequantize_points
+
+        def full_stream_q(variables, points_q, refl_q, num_points, rgb_u8):
+            pts = dequantize_points(points_q, refl_q, cfg)
+            return full_stream(variables, pts, num_points, rgb_u8)
+
+        fq = jax.jit(full_stream_q)
+
+        def stream_q(n_steps, loader):
+            outs = []
+            for _ in range(n_steps):
+                b = loader.load()
+                outs.append(fq(variables,
+                               jax.device_put(jnp.asarray(b["points_q"])),
+                               jax.device_put(jnp.asarray(b["refl_q"])),
+                               jax.device_put(jnp.asarray(b["num_points"])),
+                               jax.device_put(jnp.asarray(
+                                   b["rgb"].astype(np.uint8)))))
+                if len(outs) > 4:
+                    outs.pop(0)
+            jax.block_until_ready(outs)
+
+        qcfg = dataclasses.replace(cfg, pipeline=dataclasses.replace(
+            cfg.pipeline, host_aux_channels=False, stream_quantized=True))
+        qstep_bytes = BATCH * (n_pts * 7 + 4 + int(np.prod(cfg.rgb_shape)))
+        with BatchLoader(ds, qcfg, batch_size=BATCH, prefetch=4,
+                         seed=3) as loader:
+            stream_q(2, loader)
+            stream_q(N_DISTINCT, loader)
+            t0 = time.time()
+            stream_q(N_MEAS, loader)
+            dt_q = (time.time() - t0) / N_MEAS
+        fps_q = BATCH / dt_q
+        log(f"e2e streaming QUANTIZED ({qstep_bytes/1e6:.1f} MB/step, "
+            f"uint16+uint8 points dequantized in-graph): "
+            f"{dt_q*1000:.2f} ms/step ({dt_q/BATCH*1000:.2f} ms/frame) = "
+            f"{fps_q:.1f} frames/sec ({fps_q/fps_s:.2f}x the f32 stream "
+            f"on this link)")
+
     # ---- supplementary: voxelizer throughput + CPU-oracle comparison -------
     vox = jax.jit(lambda p: voxelize.lidar_to_top_batch(p, cfg))
     vox(batches[0]).block_until_ready()

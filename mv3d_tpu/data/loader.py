@@ -32,6 +32,18 @@ def _resize_rgb(rgb: np.ndarray, height: int, width: int) -> np.ndarray:
     return np.asarray(img)
 
 
+def prepare_rgb(rgb: np.ndarray, cfg: Config) -> np.ndarray:
+    """Camera-image crop (didi sky/hood rows, reference config.py:126-140)
+    then resize to cfg.rgb_shape."""
+    ct, cb = cfg.image_crop_top, cfg.image_crop_bottom
+    cl, cr = cfg.image_crop_left, cfg.image_crop_right
+    if ct or cb or cl or cr:
+        rgb = rgb[ct: rgb.shape[0] - cb if cb else rgb.shape[0],
+                  cl: rgb.shape[1] - cr if cr else rgb.shape[1]]
+    h, w, _ = cfg.rgb_shape
+    return _resize_rgb(rgb, h, w)
+
+
 def frames_to_batch(frames: Sequence[Frame], cfg: Config = _default_cfg
                     ) -> Dict[str, np.ndarray]:
     """Pad a list of frames into fixed-shape batch arrays."""
@@ -61,7 +73,7 @@ def frames_to_batch(frames: Sequence[Frame], cfg: Config = _default_cfg
             # overlapped with device compute via this prefetch thread
             aux[i] = native.lidar_to_top_aux(points[i, :k], cfg)
         if f.rgb is not None:
-            rgb[i] = _resize_rgb(f.rgb, h, w).astype(np.float32)
+            rgb[i] = prepare_rgb(f.rgb, cfg).astype(np.float32)
         m = min(len(f.gt_boxes3d), g)
         gt_boxes3d[i, :m] = f.gt_boxes3d[:m]
         gt_labels[i, :m] = f.gt_labels[:m]
@@ -71,6 +83,12 @@ def frames_to_batch(frames: Sequence[Frame], cfg: Config = _default_cfg
     out = {"points": points, "num_points": num_points, "rgb": rgb,
            "gt_boxes3d": gt_boxes3d, "gt_labels": gt_labels,
            "gt_mask": gt_mask, "tags": tags}
+    if cfg.pipeline.stream_quantized:
+        # transfer diet: ship 7 bytes/point instead of 16; the device
+        # dequantizes in-graph (_prepare_views / ops.quantize)
+        from ..ops.quantize import quantize_points
+        out["points_q"], out["refl_q"] = quantize_points(points, cfg)
+        del out["points"]
     if aux is not None:
         out["top_aux"] = aux
     return out

@@ -147,6 +147,59 @@ def test_batch_loader_prefetch(kitti_dir):
             assert len(batch["tags"]) == 2
 
 
+def test_quantized_point_transfer(kitti_dir):
+    """stream_quantized loader option: uint16/uint8 transfer arrays whose
+    in-graph dequantization reproduces positions to half a quantization step
+    (~0.6 mm) and the resulting top view to ~1% of entries (boundary-cell
+    reassignments only — the documented serving deviation)."""
+    import dataclasses
+
+    import jax.numpy as jnp
+
+    from mv3d_tpu.ops import voxelize
+    from mv3d_tpu.ops.quantize import _bounds, dequantize_points
+    from mv3d_tpu.train.trainer import _prepare_views
+
+    qcfg = dataclasses.replace(CFG, pipeline=dataclasses.replace(
+        CFG.pipeline, stream_quantized=True, host_aux_channels=False))
+    ds = kitti.KittiObjectDataset(kitti_dir, cfg=qcfg)
+    f0 = ds.load_frame(0)
+    batch = loader.frames_to_batch([f0], qcfg)
+    assert "points" not in batch
+    assert batch["points_q"].dtype == np.uint16
+    assert batch["refl_q"].dtype == np.uint8
+    # 7 bytes/point on the link vs 16
+    assert (batch["points_q"].nbytes + batch["refl_q"].nbytes ==
+            7 * qcfg.pipeline.max_points)
+
+    fbatch = loader.frames_to_batch([f0], dataclasses.replace(
+        CFG, pipeline=dataclasses.replace(CFG.pipeline,
+                                          host_aux_channels=False)))
+    deq = np.asarray(dequantize_points(jnp.asarray(batch["points_q"]),
+                                       jnp.asarray(batch["refl_q"]), qcfg))
+    n = int(batch["num_points"][0])
+    lo, hi = _bounds(qcfg)
+    step = (hi - lo) / 65535.0
+    err = np.abs(deq[0, :n, :3] - fbatch["points"][0, :n, :3])
+    # half a quantization step plus the f32 rounding of the (de)quantization
+    # arithmetic itself (a few ulp of the ~60-80 m coordinate ranges)
+    assert (err <= step / 2 + 1e-5).all(), err.max(0)
+    assert np.abs(deq[0, :n, 3] - fbatch["points"][0, :n, 3]).max() <= 1 / 509
+    # padding rows land strictly outside the crop
+    t = qcfg.top
+    assert (deq[0, n:, 0] < t.x_min).all() or (deq[0, n:, 0] > t.x_max).all()
+
+    # end-to-end: _prepare_views consumes the quantized batch in-graph
+    prepared = _prepare_views({k: jnp.asarray(v) for k, v in batch.items()
+                               if k != "tags"}, qcfg)
+    top_q = np.asarray(prepared["top"])
+    top_f = np.asarray(voxelize.lidar_to_top_batch(
+        jnp.asarray(fbatch["points"]), qcfg,
+        jnp.asarray(fbatch["num_points"])))
+    frac = np.mean(top_q != top_f)
+    assert frac < 0.02, f"{frac:.4f} of view entries differ"
+
+
 def test_preprocessor_dump(kitti_dir, tmp_path):
     ds = kitti.KittiObjectDataset(kitti_dir, cfg=CFG)
     out = str(tmp_path / "dump")
