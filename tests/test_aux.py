@@ -153,3 +153,69 @@ def test_experiment_manager(tmp_path):
     assert m.check(found[0])
     results = m.run_all()
     assert results[found[0]] == "ok"
+
+
+def test_viz3d_renderers(tmp_path):
+    """Headless 3D cloud / feature-map / gif renderers (the reference's
+    mayavi 3d_visualize + lidar_top_feature_visualize equivalents)."""
+    from mv3d_tpu.ops import boxes3d as box3d_ops
+    from mv3d_tpu.utils import viz3d
+
+    rng = np.random.RandomState(0)
+    pts = np.stack([rng.uniform(0, 40, 500), rng.uniform(-10, 10, 500),
+                    rng.uniform(-2, 1, 500), rng.uniform(0, 1, 500)],
+                   1).astype(np.float32)
+    gt = np.asarray(box3d_ops.box3d_compose(
+        [10.0, 0.0, -1.5], [1.5, 1.6, 4.0], [0, 0, 0.3], CFG))[None]
+
+    p1 = viz3d.render_cloud_3d(pts, gt, str(tmp_path / "cloud.png"),
+                               view="top")
+    assert os.path.exists(p1)
+
+    top = rng.rand(40, 30, 5).astype(np.float32)
+    p2 = viz3d.render_top_feature_maps(top, gt,
+                                       str(tmp_path / "feat.png"),
+                                       channels=[0, 2, 4], cfg=CFG)
+    assert os.path.exists(p2)
+    assert os.path.exists(str(tmp_path / "feat_bev.png"))
+
+    # lidar/gt drive walker + gif assembly
+    ldir, gdir = tmp_path / "lidar", tmp_path / "gt"
+    os.makedirs(ldir); os.makedirs(gdir)
+    for i in range(2):
+        np.save(ldir / f"{i:05d}.npy", pts)
+        np.save(gdir / f"{i:05d}.npy", gt)
+    outs = viz3d.mark_gt_box3d(str(ldir), str(gdir), str(tmp_path / "mark"))
+    assert len(outs) == 2 and all(os.path.exists(o) for o in outs)
+    gif = viz3d.pngs_to_gif(str(tmp_path / "mark"),
+                            str(tmp_path / "mark.gif"))
+    assert os.path.exists(gif)
+
+
+def test_render_cli(tmp_path):
+    """cli/render.py: preprocessed drive -> composite frames + gif
+    (train_data_render.py equivalent)."""
+    from PIL import Image
+
+    from mv3d_tpu.cli import render as render_cli
+    from mv3d_tpu.ops import boxes3d as box3d_ops
+
+    rng = np.random.RandomState(1)
+    drive = tmp_path / "drive"
+    for sub in ("top", "front", "rgb", "gt_boxes3d"):
+        os.makedirs(drive / sub)
+    gt = np.asarray(box3d_ops.box3d_compose(
+        [10.0, 0.0, -1.5], [1.5, 1.6, 4.0], [0, 0, 0.3], CFG))[None]
+    for i in range(2):
+        tag = f"{i:05d}"
+        np.savez_compressed(drive / "top" / (tag + ".npy.npz"),
+                            top_view=rng.rand(40, 30, 5).astype(np.float32))
+        np.savez_compressed(drive / "front" / (tag + ".npy.npz"),
+                            front_view=rng.rand(20, 10, 3).astype(np.float32))
+        Image.fromarray((rng.rand(24, 36, 3) * 255).astype(np.uint8)).save(
+            drive / "rgb" / (tag + ".png"))
+        np.save(drive / "gt_boxes3d" / (tag + ".npy"), gt)
+    out = render_cli.main([str(drive), "-o", str(tmp_path / "out")])
+    assert os.path.exists(out)
+    frames = os.listdir(tmp_path / "out" / "frames")
+    assert len(frames) == 2
