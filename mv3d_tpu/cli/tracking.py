@@ -46,6 +46,12 @@ def pred_and_save(dataset, predictor, out_dir, score_threshold=None,
     from ..utils import Timer
 
     cfg = cfg or predictor.cfg
+    if cfg.pipeline.stream_quantized:
+        # predict_from_points consumes f32 points; the quantized transfer
+        # diet applies to the Trainer/serving loaders, not this offline loop
+        import dataclasses
+        cfg = dataclasses.replace(cfg, pipeline=dataclasses.replace(
+            cfg.pipeline, stream_quantized=False))
     saver = TrackletSaver(out_dir)
     timer = Timer()
     for i in range(len(dataset)):

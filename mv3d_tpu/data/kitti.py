@@ -140,7 +140,11 @@ class KittiRawDataset:
 
     Expects ``<root>/<date>/<date>_drive_<id>_sync/{velodyne_points/data,
     image_02/data, tracklet_labels.xml}`` — the layout consumed by the
-    reference's pykitti fork (src/kitti_data/pykitti/raw.py:17-300).
+    reference's pykitti fork (src/kitti_data/pykitti/raw.py:17-300) — or,
+    when that directory is absent, the Didi bag-converter layout
+    ``<root>/<date>/<drive>/...`` (same subtree without the ``_sync``
+    naming; reference data.py:692-699 switches on DATA_SETS_TYPE the same
+    way).
     """
 
     def __init__(self, raw_dir: str, date: str, drive: str,
@@ -149,6 +153,8 @@ class KittiRawDataset:
         self.date = date
         self.drive = drive
         base = os.path.join(raw_dir, date, f"{date}_drive_{drive}_sync")
+        if not os.path.isdir(base):
+            base = os.path.join(raw_dir, date, drive)   # didi layout
         self.base = base
         self.velo_files = sorted(glob.glob(
             os.path.join(base, "velodyne_points", "data", "*.bin")))

@@ -25,7 +25,7 @@ import numpy as np
 
 from ..config import Config, cfg as _default_cfg
 from ..ops import voxelize
-from .loader import _resize_rgb
+from .loader import prepare_rgb
 
 
 def draw_top_image(top: np.ndarray) -> np.ndarray:
@@ -113,9 +113,8 @@ class Preprocessor:
         np.save(os.path.join(o, "gt_boxes3d", tag + ".npy"), frame.gt_boxes3d)
         np.save(os.path.join(o, "gt_labels", tag + ".npy"), frame.gt_labels)
         if frame.rgb is not None:
-            h, w, _ = self.cfg.rgb_shape
             _save_png(os.path.join(o, "rgb", tag + ".png"),
-                      _resize_rgb(frame.rgb, h, w))
+                      prepare_rgb(frame.rgb, self.cfg))
         if self.save_images:
             _save_png(os.path.join(o, "top_image", tag + ".png"),
                       draw_top_image(top))

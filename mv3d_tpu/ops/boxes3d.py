@@ -129,7 +129,30 @@ def box3d_to_rgb_box(boxes3d: jnp.ndarray, cfg: Config = _default_cfg) -> jnp.nd
 
     Parity: reference ``box3d_to_rgb_box`` KITTI branch (boxes3d.py:146-162):
     Qs = [P|1] @ Mt, qs = Qs[:, :3] @ Kt, pixel = qs[:, :2] / qs[:, 2].
+    Non-kitti datasets use the reference's didi branch (boxes3d.py:164-174):
+    the calibrated 3x4 projection (box3d_to_rgb_projection_cv2,
+    :474-484) + crop-shift-and-clamp into the cropped image
+    (convert_points_to_croped_image, :112-143), zeroing boxes that are
+    behind the camera or have < 2 in-range corners — masked jnp instead of
+    the reference's host loop so it stays in-graph.
     """
+    if cfg.dataset_type != "kitti":
+        from .projection import DIDI_PROJ_MAT
+        P = jnp.asarray(DIDI_PROJ_MAT, jnp.float32)
+        ones = jnp.ones(boxes3d.shape[:-1] + (1,), dtype=jnp.float32)
+        Ps = jnp.concatenate([boxes3d.astype(jnp.float32), ones], axis=-1)
+        X = jnp.einsum("ij,...j->...i", P, Ps, precision="highest")
+        pix = (X[..., :2] / X[..., 2:3]).astype(jnp.int32)   # trunc like ref
+        h, w, _ = cfg.rgb_shape
+        u = pix[..., 0] - cfg.image_crop_left
+        v = pix[..., 1] - cfg.image_crop_top
+        in_range = (u >= 0) & (u < w) & (v >= 0) & (v < h)
+        u = jnp.clip(u, 0, w - 1)
+        v = jnp.clip(v, 0, h - 1)
+        keep = ((jnp.sum(boxes3d[..., 0] > 0, axis=-1) > 0) &
+                (jnp.sum(in_range, axis=-1) >= 2))           # (..., N)
+        out = jnp.stack([u, v], axis=-1)
+        return jnp.where(keep[..., None, None], out, 0).astype(jnp.int32)
     Mt = jnp.asarray(cfg.matrix_mt, dtype=jnp.float32)
     Kt = jnp.asarray(cfg.matrix_kt, dtype=jnp.float32)
     ones = jnp.ones(boxes3d.shape[:-1] + (1,), dtype=boxes3d.dtype)

@@ -23,6 +23,14 @@ DIDI_CAMERA_MATRIX = np.array([
     [0.000000, 0.000000, 1.000000]])
 DIDI_DIST_COEFFS = np.array([-0.152089, 0.270168, 0.003143, -0.005640, 0.0])
 
+# the calibrated 3x4 lidar->image projection the reference's LIVE didi rgb
+# path uses (box3d_to_rgb_projection_cv2, reference boxes3d.py:474-484; the
+# distortion camera above is its provenance, kept for the correction tools)
+DIDI_PROJ_MAT = np.array([
+    [6.24391515e+02, -1.35999541e+03, -3.47685065e+01, -8.19238784e+02],
+    [5.20528665e+02, 1.80893752e+01, -1.38839738e+03, -1.17506110e+03],
+    [9.99547104e-01, 3.36246424e-03, -2.99045429e-02, -1.34871685e+00]])
+
 
 @dataclass
 class CameraModel:
