@@ -48,9 +48,10 @@ print("DIST_OK", pid, flush=True)
 """
 
 
-def test_two_process_data_parallel_mesh(tmp_path):
+def _run_two_procs(tmp_path, script: str, ok_token: str, timeout: int,
+                   extra_args=()):
     worker = tmp_path / "worker.py"
-    worker.write_text(WORKER)
+    worker.write_text(script)
     with socket.socket() as s:
         s.bind(("localhost", 0))
         port = s.getsockname()[1]
@@ -59,14 +60,130 @@ def test_two_process_data_parallel_mesh(tmp_path):
            if k not in ("XLA_FLAGS", "JAX_PLATFORMS")}
     # keep the subprocess imports off this test process's pinned config
     procs = [subprocess.Popen(
-        [sys.executable, str(worker), str(i), str(port)],
+        [sys.executable, str(worker), str(i), str(port), *extra_args],
         stdout=subprocess.PIPE, stderr=subprocess.STDOUT, env=env,
         cwd=os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
         for i in range(2)]
     outs = []
     for p in procs:
-        out, _ = p.communicate(timeout=240)
+        out, _ = p.communicate(timeout=timeout)
         outs.append(out.decode())
     for i, (p, out) in enumerate(zip(procs, outs)):
         assert p.returncode == 0, f"proc {i} failed:\n{out}"
-        assert f"DIST_OK {i}" in out
+        assert f"{ok_token} {i}" in out
+    return outs
+
+
+def test_two_process_data_parallel_mesh(tmp_path):
+    _run_two_procs(tmp_path, WORKER, "DIST_OK", timeout=240)
+
+
+# ---------------------------------------------------------------------------
+# the REAL MV3D sharded train step across 2 OS processes
+# ---------------------------------------------------------------------------
+
+TRAIN_WORKER = r"""
+import os, sys
+pid = int(sys.argv[1]); port = sys.argv[2]; ckpt_dir = sys.argv[3]
+os.environ["XLA_FLAGS"] = "--xla_force_host_platform_device_count=4"
+os.environ["JAX_PLATFORMS"] = "cpu"
+sys.path.insert(0, os.getcwd())   # launched with cwd = repo root
+import jax
+jax.config.update("jax_platforms", "cpu")
+jax.distributed.initialize(f"localhost:{port}", num_processes=2,
+                           process_id=pid)
+import numpy as np, jax.numpy as jnp, optax
+from jax.sharding import NamedSharding, PartitionSpec as P
+from mv3d_tpu.models.mv3d_net import MV3DNet
+from mv3d_tpu.models.nets import SUBNET_NAMES
+from mv3d_tpu.ops import boxes3d as box3d_ops
+from mv3d_tpu.ops.voxelize import lidar_to_front_batch, lidar_to_top_batch
+from mv3d_tpu.parallel.mesh import make_mesh, make_sharded_train_step, replicate
+from mv3d_tpu.train.checkpoint import SubnetCheckpointer
+from __graft_entry__ import _tiny_config
+
+assert jax.process_count() == 2 and len(jax.devices()) == 8
+cfg = _tiny_config()
+model = MV3DNet(cfg)
+mesh = make_mesh(8)
+data = NamedSharding(mesh, P("data"))
+
+variables = model.init_variables(jax.random.PRNGKey(0))
+optimizer = optax.adam(1e-3)
+params = {n: variables[n]["params"] for n in SUBNET_NAMES}
+opt_state = optimizer.init(params)
+variables = replicate(variables, mesh)
+opt_state = replicate(opt_state, mesh)
+
+# deterministic GLOBAL batch of 8 frames; this process materializes only its
+# local 4-frame shard (the multi-host loader contract)
+g, n_pts = cfg.pipeline.max_gt, cfg.pipeline.max_points
+rng = np.random.RandomState(42)   # same seed both ranks: global arrays agree
+pts = np.stack([rng.uniform(0, 16, (8, n_pts)),
+                rng.uniform(-6, 6, (8, n_pts)),
+                rng.uniform(-4, 0.8, (8, n_pts)),
+                rng.uniform(0, 1, (8, n_pts))], axis=-1).astype(np.float32)
+rgb = rng.rand(8, *cfg.rgb_shape).astype(np.float32)
+gt3d = np.zeros((8, g, 8, 3), np.float32)
+gt_labels = np.zeros((8, g), np.int32); gt_mask = np.zeros((8, g), bool)
+for i in range(8):
+    gt3d[i, 0] = np.asarray(box3d_ops.box3d_compose(
+        [8.0, 0.0, -1.5], [1.5, 1.6, 4.0], [0.0, 0.0, 0.3], cfg))
+    gt_labels[i, 0] = 1; gt_mask[i, 0] = True
+
+lo, hi = pid * 4, pid * 4 + 4
+def mk(x):
+    return jax.make_array_from_process_local_data(data, x[lo:hi], x.shape)
+batch = {"points": mk(pts), "num_points": mk(np.full(8, n_pts, np.int32)),
+         "rgb": mk(rgb), "gt_boxes3d": mk(gt3d), "gt_labels": mk(gt_labels),
+         "gt_mask": mk(gt_mask)}
+
+# in-graph sharded voxelization (Pallas-interpret kernels under pjit across
+# 2 processes) feeding the sharded train step
+view_fn = jax.jit(lambda p, n: (lidar_to_top_batch(p, cfg, n),
+                                lidar_to_front_batch(p, cfg, n)),
+                  out_shardings=(data, data))
+top, front = view_fn(batch["points"], batch["num_points"])
+batch = {"top": top, "front": front, "rgb": batch["rgb"],
+         "gt_boxes3d": batch["gt_boxes3d"], "gt_labels": batch["gt_labels"],
+         "gt_mask": batch["gt_mask"]}
+
+step = make_sharded_train_step(model, optimizer, SUBNET_NAMES, mesh, cfg)
+for it in range(2):
+    variables, opt_state, losses = step(variables, opt_state, batch,
+                                        jax.random.PRNGKey(1 + it))
+jax.block_until_ready(losses)
+vals = {k: float(v) for k, v in losses.items()}
+assert all(np.isfinite(v) for v in vals.values()), vals
+print("LOSSES", " ".join(f"{k}={v:.6f}" for k, v in sorted(vals.items())),
+      flush=True)
+
+# collective orbax save of the updated (replicated, multi-process) rpn subnet,
+# restore with the live shardings, and verify equality on every rank
+ck = SubnetCheckpointer("top_view_rpn", ckpt_dir, backend="orbax")
+ck.save(variables["top_view_rpn"], step=1)
+restored = ck.load(step=1, restore_target=variables["top_view_rpn"])
+flat0 = jax.tree_util.tree_leaves(variables["top_view_rpn"])
+flat1 = jax.tree_util.tree_leaves(restored)
+for a, b in zip(flat0, flat1):
+    np.testing.assert_array_equal(np.asarray(a.addressable_data(0)),
+                                  np.asarray(b.addressable_data(0)))
+print("DIST_TRAIN_OK", pid, flush=True)
+"""
+
+
+@pytest.mark.slow
+def test_two_process_real_train_step(tmp_path):
+    """The FULL MV3D sharded train step (in-graph voxelization + trunks +
+    targets + fusion + adam update, same shapes as dryrun_multichip) runs
+    across 2 OS processes on one 8-device Gloo mesh: both ranks converge to
+    IDENTICAL finite losses, and the updated weights round-trip through a
+    collective orbax sharded save/restore."""
+    outs = _run_two_procs(tmp_path, TRAIN_WORKER, "DIST_TRAIN_OK",
+                          timeout=900, extra_args=(str(tmp_path / "ckpt"),))
+    loss_lines = []
+    for out in outs:
+        lines = [l for l in out.splitlines() if l.startswith("LOSSES ")]
+        assert len(lines) == 1, out
+        loss_lines.append(lines[0])
+    assert loss_lines[0] == loss_lines[1], loss_lines
