@@ -124,6 +124,41 @@ class Bottleneck(nn.Module):
         return h + shortcut
 
 
+class BasicBlock(nn.Module):
+    """Pre-activation basic block (two 3x3 convs) — the reference's
+    ``basic_block`` family (resnet.py:111-132), used by its resnet_18/34
+    builders. Output channels = filters (no 4x expansion)."""
+    filters: int
+    strides: Tuple[int, int] = (1, 1)
+    plain_entry: bool = False
+    dtype: Dtype = jnp.bfloat16
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        def bn_relu(h):
+            h = nn.BatchNorm(use_running_average=not train, momentum=0.9,
+                             dtype=jnp.float32)(h.astype(jnp.float32))
+            return nn.relu(h).astype(self.dtype)
+
+        if self.plain_entry:
+            h = nn.Conv(self.filters, (3, 3), self.strides, padding="SAME",
+                        use_bias=False, dtype=self.dtype)(x)
+        else:
+            h = bn_relu(x)
+            h = nn.Conv(self.filters, (3, 3), self.strides, padding="SAME",
+                        use_bias=False, dtype=self.dtype)(h)
+        h = bn_relu(h)
+        h = nn.Conv(self.filters, (3, 3), padding="SAME", use_bias=False,
+                    dtype=self.dtype)(h)
+
+        shortcut = x
+        if x.shape[-1] != self.filters or self.strides != (1, 1):
+            shortcut = nn.Conv(self.filters, (1, 1), self.strides,
+                               padding="SAME", use_bias=False,
+                               dtype=self.dtype)(x)
+        return h + shortcut
+
+
 def space_to_depth(x: jnp.ndarray, factor: int) -> jnp.ndarray:
     """(B, H, W, C) -> (B, H/f, W/f, C*f*f): fold spatial blocks into lanes.
 
@@ -153,41 +188,73 @@ class ResnetTiny(nn.Module):
     3x3/1 conv at the same output stride (factor 2: s2d/2+conv+pool/2;
     factor 4: s2d/4+conv, no pool) — an MXU-utilization optimization with the
     same stride-8 output contract.
+
+    ``repetitions``/``block`` expose the reference's ResnetBuilder ablation
+    family (resnet.py:185-258): e.g. (2, 2, 2, 2) + "basic" = resnet_18's
+    body at stride 4*2^(len-1). The live default matches resnet_tiny.
     """
     repetitions: Sequence[int] = (3, 4)
     base_filters: int = 64
     s2d_factor: int = 0
+    block: str = "bottleneck"          # "bottleneck" | "basic"
     dtype: Dtype = jnp.bfloat16
     # input is ALREADY channel-folded (the voxelizer's "s2d2" view layout):
     # skip the in-model space_to_depth. Only meaningful with s2d_factor=2.
     input_prefolded: bool = False
+    # lane-padded "s2d2p" layout: input is a (heights (B,H2,W2P,128),
+    # aux (B,H2,W2P,8)) pair; the stem is conv(heights) + conv(aux) summed —
+    # function-equivalent to one conv over the concatenated channels
+    # (convolution is linear over input-channel groups; the zero lanes
+    # contribute nothing) — then cropped to crop_w true columns BEFORE batch
+    # norm, so statistics and every downstream activation match the
+    # unpadded "s2d2" network exactly (the pad columns are explicit zeros,
+    # identical to SAME-padding at the true boundary).
+    split_stem: bool = False
+    crop_w: int = 0
 
     @nn.compact
     def __call__(self, x, train: bool = False):
-        x = x.astype(self.dtype)
-        if self.s2d_factor == 0:
-            x = ConvBnRelu(self.base_filters, (7, 7), (2, 2),
-                           dtype=self.dtype)(x, train)
+        if self.split_stem:
+            heights, aux = x
+            h = nn.Conv(self.base_filters, (3, 3), (1, 1), padding="SAME",
+                        use_bias=False, dtype=self.dtype,
+                        name="stem_h")(heights.astype(self.dtype))
+            h = h + nn.Conv(self.base_filters, (3, 3), (1, 1), padding="SAME",
+                            use_bias=False, dtype=self.dtype,
+                            name="stem_aux")(aux.astype(self.dtype))
+            if self.crop_w:
+                h = h[:, :, :self.crop_w, :]
+            h = nn.BatchNorm(use_running_average=not train, momentum=0.9,
+                             dtype=jnp.float32,
+                             name="stem_bn")(h.astype(jnp.float32))
+            x = nn.relu(h).astype(self.dtype)
             x = nn.max_pool(x, (3, 3), strides=(2, 2), padding="SAME")
-        elif self.s2d_factor == 2:
-            if not self.input_prefolded:
-                x = space_to_depth(x, 2)
-            x = ConvBnRelu(self.base_filters, (3, 3), (1, 1),
-                           dtype=self.dtype)(x, train)
-            x = nn.max_pool(x, (3, 3), strides=(2, 2), padding="SAME")
-        elif self.s2d_factor == 4:
-            x = space_to_depth(x, 4)
-            x = ConvBnRelu(self.base_filters, (3, 3), (1, 1),
-                           dtype=self.dtype)(x, train)
         else:
-            raise ValueError(f"unsupported s2d_factor {self.s2d_factor}")
+            x = x.astype(self.dtype)
+            if self.s2d_factor == 0:
+                x = ConvBnRelu(self.base_filters, (7, 7), (2, 2),
+                               dtype=self.dtype)(x, train)
+                x = nn.max_pool(x, (3, 3), strides=(2, 2), padding="SAME")
+            elif self.s2d_factor == 2:
+                if not self.input_prefolded:
+                    x = space_to_depth(x, 2)
+                x = ConvBnRelu(self.base_filters, (3, 3), (1, 1),
+                               dtype=self.dtype)(x, train)
+                x = nn.max_pool(x, (3, 3), strides=(2, 2), padding="SAME")
+            elif self.s2d_factor == 4:
+                x = space_to_depth(x, 4)
+                x = ConvBnRelu(self.base_filters, (3, 3), (1, 1),
+                               dtype=self.dtype)(x, train)
+            else:
+                raise ValueError(f"unsupported s2d_factor {self.s2d_factor}")
 
+        block_cls = {"bottleneck": Bottleneck, "basic": BasicBlock}[self.block]
         filters = self.base_filters
         for i, reps in enumerate(self.repetitions):
             for j in range(reps):
                 strides = (2, 2) if (j == 0 and i != 0) else (1, 1)
-                x = Bottleneck(filters, strides,
-                               plain_entry=(i == 0 and j == 0),
-                               dtype=self.dtype)(x, train)
+                x = block_cls(filters, strides,
+                              plain_entry=(i == 0 and j == 0),
+                              dtype=self.dtype)(x, train)
             filters *= 2
         return x

@@ -102,18 +102,32 @@ class MV3DNet:
         m = cfg.model
         s2d_top = 2 if m.stem_space_to_depth else 0
         s2d_rgb = 4 if m.stem_space_to_depth else 0
-        folded = cfg.pipeline.view_layout == "s2d2"
+        layout = cfg.pipeline.view_layout
+        folded = layout in ("s2d2", "s2d2p")
         assert not folded or (s2d_top == 2
                               and cfg.top.xn % 2 == 0 and cfg.top.yn % 2 == 0), \
-            "view_layout=s2d2 requires stem_space_to_depth and even grid dims"
+            "folded view layouts require stem_space_to_depth and even grid dims"
+        padded = layout == "s2d2p"
+        assert not padded or 4 * cfg.top.zn <= 128, \
+            "view_layout=s2d2p requires 4*zn <= 128 heights lanes"
+        reps = tuple(m.backbone_repetitions)
+        assert m.rpn_stride == 4 * 2 ** (len(reps) - 1), \
+            ("backbone_repetitions implies stride 4*2^(len-1); set "
+             "model.rpn_stride to match", reps, m.rpn_stride)
         self.top_rpn = TopRPN(num_bases=len(m.bases), dtype=dtype,
                               upsample=m.upsample_features, s2d_factor=s2d_top,
-                              input_prefolded=folded)
+                              input_prefolded=folded, split_stem=padded,
+                              crop_w=cfg.top.yn // 2 if padded else 0,
+                              block=m.backbone_block, repetitions=reps)
         self.rgb_net = RgbFeatureNet(dtype=dtype, upsample=m.upsample_features,
-                                     s2d_factor=s2d_rgb)
+                                     s2d_factor=s2d_rgb,
+                                     basenet=m.rgb_basenet,
+                                     block=m.backbone_block, repetitions=reps)
         self.front_net = FrontFeatureNet(dtype=dtype,
                                          upsample=m.upsample_features,
-                                         s2d_factor=s2d_top)
+                                         s2d_factor=s2d_top,
+                                         block=m.backbone_block,
+                                         repetitions=reps)
         self.fusion = FusionHead(cfg=cfg, dtype=dtype)
         anchors_np, _ = anchor_setup(cfg)
         self.anchors = jnp.asarray(anchors_np)
@@ -136,6 +150,11 @@ class MV3DNet:
         xn, yn, tc = cfg.top_shape
         if cfg.pipeline.view_layout == "s2d2":
             top = jnp.zeros((1, xn // 2, yn // 2, 4 * tc), jnp.float32)
+        elif cfg.pipeline.view_layout == "s2d2p":
+            from ..ops.voxelize import folded_pad_width
+            w2p = folded_pad_width(yn)
+            top = (jnp.zeros((1, xn // 2, w2p, 128), jnp.float32),
+                   jnp.zeros((1, xn // 2, w2p, 8), jnp.float32))
         else:
             top = jnp.zeros((1, xn, yn, tc), jnp.float32)
         rgb = jnp.zeros((1, *cfg.rgb_shape), jnp.float32)
@@ -166,10 +185,22 @@ class MV3DNet:
         then unfolded from the per-supercell channel groups)."""
         cfg = self.cfg
         xn, yn, tc = cfg.top_shape
-        if occ is None and top_view_frame.shape[:2] == (xn // 2, yn // 2):
+        zn = tc - 2
+        if occ is None and isinstance(top_view_frame, (tuple, list)):
+            # lane-padded "s2d2p" pair: per-sub-cell lane-group sums of the
+            # heights plane + the aux plane, unfolded and cropped to yn
+            heights, aux = top_view_frame
+            hv = heights.astype(jnp.float32)
+            av = aux.astype(jnp.float32)
+            w2p = hv.shape[1]
+            h4 = jnp.stack([jnp.sum(hv[..., s * zn:(s + 1) * zn], axis=-1)
+                            for s in range(4)], axis=-1)
+            occ4 = h4 + av[..., :4] + av[..., 4:]
+            occ = (occ4.reshape(xn // 2, w2p, 2, 2)
+                   .transpose(0, 2, 1, 3).reshape(xn, 2 * w2p)[:, :yn])
+        elif occ is None and top_view_frame.shape[:2] == (xn // 2, yn // 2):
             # folded view: channels are [(dy,dx,s) x 4*zn, int x4, den x4];
             # per-(dy,dx) channel sums unfold to the per-cell occupancy
-            zn = tc - 2
             v = top_view_frame.astype(jnp.float32)
             h4 = jnp.sum(v[..., :4 * zn].reshape(xn // 2, yn // 2, 4, zn),
                          axis=-1)
@@ -309,7 +340,7 @@ class MV3DNet:
         top, rgb, front = batch["top"], batch["rgb"], batch["front"]
         gt3d, gt_labels = batch["gt_boxes3d"], batch["gt_labels"]
         gt_mask = batch["gt_mask"]
-        b = top.shape[0]
+        b = (top[0] if isinstance(top, (tuple, list)) else top).shape[0]
 
         outs, updates = self.extract_features(variables, top, rgb, front,
                                               train=train)

@@ -51,12 +51,20 @@ class TopRPN(nn.Module):
     upsample: bool = False
     s2d_factor: int = 0
     input_prefolded: bool = False
+    # lane-padded "s2d2p" input: top_view is a (heights, aux) pair consumed
+    # by ResnetTiny's split stem, cropped to crop_w true folded columns
+    split_stem: bool = False
+    crop_w: int = 0
+    block: str = "bottleneck"
+    repetitions: Tuple[int, ...] = (3, 4)
     dtype: Dtype = jnp.bfloat16
 
     @nn.compact
-    def __call__(self, top_view: jnp.ndarray, train: bool = False):
+    def __call__(self, top_view, train: bool = False):
         x = ResnetTiny(s2d_factor=self.s2d_factor, dtype=self.dtype,
                        input_prefolded=self.input_prefolded,
+                       split_stem=self.split_stem, crop_w=self.crop_w,
+                       block=self.block, repetitions=self.repetitions,
                        name="trunk")(top_view, train)
         x = ConvBnRelu(128, (1, 1), dtype=self.dtype, name="reduce")(x, train)
 
@@ -71,7 +79,8 @@ class TopRPN(nn.Module):
                                  name="rcnn_upsample")(x)
         else:
             feature = x
-        b = top_view.shape[0]
+        b = (top_view[0] if isinstance(top_view, (tuple, list))
+             else top_view).shape[0]
         return {
             "features": feature,                               # (B, H/2, W/2, 128)
             "scores": scores.reshape(b, -1, 2).astype(jnp.float32),   # (B, A, 2)
@@ -80,16 +89,43 @@ class TopRPN(nn.Module):
         }
 
 
+class VggTrunk(nn.Module):
+    """VGG-style stride-8 trunk — the reference's plain ``rgb_feature_net``
+    (mv3d_net.py:214-252, selected by cfg.RGB_BASENET='VGG'): conv blocks
+    (32,32)/pool, (64,64)/pool, (128,128,128)/pool, (128,128,128)."""
+    dtype: Dtype = jnp.bfloat16
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        x = x.astype(self.dtype)
+        for bi, (reps, ch, pool) in enumerate(
+                [(2, 32, True), (2, 64, True), (3, 128, True), (3, 128, False)]):
+            for j in range(reps):
+                x = ConvBnRelu(ch, (3, 3), dtype=self.dtype,
+                               name=f"block{bi+1}_conv{j+1}")(x, train)
+            if pool:
+                x = nn.max_pool(x, (2, 2), strides=(2, 2), padding="SAME")
+        return x
+
+
 class RgbFeatureNet(nn.Module):
-    """RGB trunk: resnet_tiny -> 1x1/128 (-> optional x2 upsample)."""
+    """RGB trunk: resnet_tiny (default) or VGG -> 1x1/128 (-> optional x2
+    upsample). ``basenet`` mirrors cfg.RGB_BASENET (reference config.py:63)."""
     upsample: bool = False
     s2d_factor: int = 0
+    basenet: str = "resnet"
+    block: str = "bottleneck"
+    repetitions: Tuple[int, ...] = (3, 4)
     dtype: Dtype = jnp.bfloat16
 
     @nn.compact
     def __call__(self, rgb: jnp.ndarray, train: bool = False):
-        x = ResnetTiny(s2d_factor=self.s2d_factor, dtype=self.dtype,
-                       name="trunk")(rgb, train)
+        if self.basenet == "vgg":
+            x = VggTrunk(dtype=self.dtype, name="trunk")(rgb, train)
+        else:
+            x = ResnetTiny(s2d_factor=self.s2d_factor, dtype=self.dtype,
+                           block=self.block, repetitions=self.repetitions,
+                           name="trunk")(rgb, train)
         x = ConvBnRelu(128, (1, 1), dtype=self.dtype, name="reduce")(x, train)
         if self.upsample:
             x = Upsample2D(128, factor=2, dtype=self.dtype, name="upsample")(x)
@@ -100,11 +136,14 @@ class FrontFeatureNet(nn.Module):
     """Front trunk: resnet_tiny -> 1x1/128 (-> optional x4 upsample)."""
     upsample: bool = False
     s2d_factor: int = 0
+    block: str = "bottleneck"
+    repetitions: Tuple[int, ...] = (3, 4)
     dtype: Dtype = jnp.bfloat16
 
     @nn.compact
     def __call__(self, front: jnp.ndarray, train: bool = False):
         x = ResnetTiny(s2d_factor=self.s2d_factor, dtype=self.dtype,
+                       block=self.block, repetitions=self.repetitions,
                        name="trunk")(front, train)
         x = ConvBnRelu(128, (1, 1), dtype=self.dtype, name="reduce")(x, train)
         if self.upsample:

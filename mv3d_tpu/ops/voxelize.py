@@ -64,8 +64,16 @@ def _crop_mask(points: jnp.ndarray, cfg: Config,
     return m
 
 
+def folded_pad_width(yn: int) -> int:
+    """Padded folded width w2p for the lane-padded "s2d2p" layout: yn/2
+    rounded up to a multiple of 16 so both the f32 (8, 128) and bf16
+    (16, 128) tilings of the (h2, w2p, 128) view stay bitcast-compatible
+    with the kernel's flat block output."""
+    return -(-(yn // 2) // 16) * 16
+
+
 def _top_prep(points: jnp.ndarray, cfg: Config,
-              num_points: Optional[jnp.ndarray], s2d: bool = False):
+              num_points: Optional[jnp.ndarray], s2d=False):
     """Per-frame point quantization shared by all top-view formulations.
 
     Returns (valid, cell, flat, val, refl): crop mask, per-point cell id
@@ -77,7 +85,10 @@ def _top_prep(points: jnp.ndarray, cfg: Config,
     (supercell-major, (dy, dx)-minor) instead of row-major — a pure
     permutation that makes the fused kernel's output BE the conv stem's
     folded input, eliminating the downstream relayout entirely (see
-    fold_view_s2d2).
+    fold_view_s2d2). ``s2d="pad"`` additionally LANE-PADS: flat =
+    sc*128 + sub*zn + s_eff over a (h2, w2p) supercell grid (w2p =
+    folded_pad_width), so the heights block output bitcasts to a
+    (h2, w2p, 128) view; ``cell`` is then the folded cell id sc*4 + sub.
     """
     t = cfg.top
     xn, yn, zn = t.xn, t.yn, t.zn
@@ -92,6 +103,22 @@ def _top_prep(points: jnp.ndarray, cfg: Config,
 
     row = xn - 1 - qx
     col = yn - 1 - qy
+    s = jnp.minimum(jnp.floor(qz), zn - 1).astype(jnp.int32)
+    frac = qz - s.astype(jnp.float32)
+    exact = (frac == 0.0) & (s >= 1)
+    s_eff = jnp.where(exact, s - 1, s)
+    val = jnp.where(valid, jnp.where(exact, 1.0, frac), 0.0)
+
+    if s2d == "pad":
+        assert xn % 2 == 0 and yn % 2 == 0 and 4 * zn <= 128, (xn, yn, zn)
+        w2p = folded_pad_width(yn)
+        n_sc = (xn // 2) * w2p
+        supercell = (row // 2) * w2p + (col // 2)
+        sub = (row % 2) * 2 + (col % 2)
+        cell = jnp.where(valid, supercell * 4 + sub, n_sc * 4)
+        flat = jnp.where(valid, supercell * 128 + sub * zn + s_eff,
+                         n_sc * 128)
+        return valid, cell, flat, val, refl
     if s2d:
         assert xn % 2 == 0 and yn % 2 == 0, (xn, yn)
         supercell = (row // 2) * (yn // 2) + (col // 2)
@@ -99,12 +126,6 @@ def _top_prep(points: jnp.ndarray, cfg: Config,
     else:
         cell_id = row * yn + col
     cell = jnp.where(valid, cell_id, n_cells)               # dump cell
-
-    s = jnp.minimum(jnp.floor(qz), zn - 1).astype(jnp.int32)
-    frac = qz - s.astype(jnp.float32)
-    exact = (frac == 0.0) & (s >= 1)
-    s_eff = jnp.where(exact, s - 1, s)
-    val = jnp.where(valid, jnp.where(exact, 1.0, frac), 0.0)
     flat = jnp.where(valid, cell * zn + s_eff, n_cells * zn)
     return valid, cell, flat, val, refl
 
@@ -128,6 +149,24 @@ def fold_view_s2d2(view: jnp.ndarray) -> jnp.ndarray:
     inten = v[..., zn].reshape(*lead, h // 2, w // 2, 4)
     dens = v[..., zn + 1].reshape(*lead, h // 2, w // 2, 4)
     return jnp.concatenate([heights, inten, dens], axis=-1)
+
+
+def fold_view_s2d2p(view: jnp.ndarray):
+    """Standard (..., H, W, Zn+2) top view -> the lane-padded "s2d2p" pair:
+    heights (..., H/2, W2P, 128) with lanes sub*zn + s (zeros above 4*Zn and
+    in the padded columns), aux (..., H/2, W2P, 8) = [intensity x4,
+    density x4]. Pure reshape/pad of :func:`fold_view_s2d2`'s channel order —
+    the reference oracle for the kernel's native s2d2p emission."""
+    *lead, h, w, c = view.shape
+    zn = c - 2
+    w2 = w // 2
+    w2p = folded_pad_width(w)
+    folded = fold_view_s2d2(view)
+    lead_pad = [(0, 0)] * (len(lead) + 1)
+    heights = jnp.pad(folded[..., :4 * zn],
+                      lead_pad + [(0, w2p - w2), (0, 128 - 4 * zn)])
+    aux = jnp.pad(folded[..., 4 * zn:], lead_pad + [(0, w2p - w2), (0, 0)])
+    return heights, aux
 
 
 def _occ_from_cells(heights2d, intensity, density, counts, cfg: Config):
@@ -206,7 +245,8 @@ def lidar_to_top(points: jnp.ndarray, cfg: Config = _default_cfg,
         from .voxelize_pallas import scatter_top_fused
         heights, counts, intensity = scatter_top_fused(
             flat, val, jnp.where(valid, refl, 0.0), n_cells, zn,
-            order=cfg.pipeline.voxel_order)
+            order=cfg.pipeline.voxel_order,
+            body=cfg.pipeline.sweep_kernel)
         density = jnp.minimum(1.0, jnp.log(counts + 1.0) / math.log(32))
         heights2d = heights.reshape(n_cells, zn)
         top = jnp.concatenate(
@@ -319,10 +359,54 @@ def lidar_to_top_batch(points: jnp.ndarray, cfg: Config = _default_cfg,
 
     ``return_occ``: also return the (B, Xn, Yn) occupancy mass for the
     empty-anchor filter (see :func:`lidar_to_top`)."""
-    if aux is not None and cfg.pipeline.view_layout == "s2d2":
+    if aux is not None and cfg.pipeline.view_layout in ("s2d2", "s2d2p"):
         raise ValueError(
-            "view_layout='s2d2' computes all channels in-graph (fused "
-            "kernel); host aux planes are not supported in this layout")
+            "folded view layouts compute all channels in-graph (fused "
+            "kernel); host aux planes are not supported in these layouts")
+    if cfg.pipeline.view_layout == "s2d2p":
+        # lane-padded folded layout: the kernel's heights blocks ARE the
+        # (h2, w2p, 128) conv-stem input (layout-preserving reshape) and
+        # count/intensity become the split stem's (h2, w2p, 8) aux plane —
+        # no relayout pass anywhere (docs/PALLAS_NOTES.md round 3)
+        assert cfg.pipeline.use_pallas_fused, \
+            "view_layout='s2d2p' requires the fused Pallas voxelizer"
+        from .voxelize_pallas import scatter_top_padded_batched
+        t = cfg.top
+        xn, yn, zn = t.xn, t.yn, t.zn
+        h2 = xn // 2
+        w2p = folded_pad_width(yn)
+        n_sc = h2 * w2p
+        bsz = points.shape[0]
+        if num_points is None:
+            _, _, flat, val, refl = jax.vmap(
+                lambda p: _top_prep(p, cfg, None, s2d="pad"))(points)
+        else:
+            _, _, flat, val, refl = jax.vmap(
+                lambda p, m: _top_prep(p, cfg, m, s2d="pad"))(points,
+                                                              num_points)
+        heights_b, counts, inten = scatter_top_padded_batched(
+            flat, val, jnp.where(flat < n_sc * 128, refl, 0.0), n_sc, zn,
+            body=cfg.pipeline.sweep_kernel)
+        view_dtype = jnp.dtype(cfg.pipeline.top_view_dtype)
+        heights = heights_b.reshape(bsz, h2, w2p, 128).astype(view_dtype)
+        density = jnp.minimum(1.0, jnp.log(counts + 1.0) / math.log(32))
+        aux_plane = jnp.concatenate(
+            [inten.reshape(bsz, h2, w2p, 4),
+             density.reshape(bsz, h2, w2p, 4)], axis=-1).astype(view_dtype)
+        top = (heights, aux_plane)
+        if not return_occ:
+            return top
+        if cfg.pipeline.remove_empty_thresh == 0.0:
+            occ4 = counts.reshape(bsz, h2, w2p, 4)   # count proxy, bit-equal
+        else:
+            hv = heights_b.reshape(bsz, h2, w2p, 128)
+            h4 = jnp.stack([jnp.sum(hv[..., s * zn:(s + 1) * zn], axis=-1)
+                            for s in range(4)], axis=-1)
+            occ4 = (h4 + inten.reshape(bsz, h2, w2p, 4)
+                    + density.reshape(bsz, h2, w2p, 4))
+        occ = (occ4.reshape(bsz, h2, w2p, 2, 2)
+               .transpose(0, 1, 3, 2, 4).reshape(bsz, xn, 2 * w2p)[:, :, :yn])
+        return top, occ
     if aux is None and cfg.pipeline.use_pallas_fused:
         # native-batch kernel path: vmap of a scalar-prefetch pallas_call
         # degrades to a sequential while loop with per-frame output assembly
@@ -345,7 +429,7 @@ def lidar_to_top_batch(points: jnp.ndarray, cfg: Config = _default_cfg,
         heights, counts, intensity = scatter_top_fused_batched(
             flat, val, jnp.where(flat < n_cells * zn, refl, 0.0),
             n_cells, zn, order=cfg.pipeline.voxel_order,
-            heights_dtype=view_dtype)
+            heights_dtype=view_dtype, body=cfg.pipeline.sweep_kernel)
         density = jnp.minimum(1.0, jnp.log(counts + 1.0) / math.log(32))
         if s2d:
             # cells are already in folded order: the kernel output IS the

@@ -210,32 +210,21 @@ def bin_points_by_tile(flat: jnp.ndarray, payloads, tile_span: int,
 _CT = 4096            # cells per tile; CT*zn and CT are multiples of 1024
 
 
-def _fused_kernel(starts_ref, flat_ref, hval_ref, refl_ref,
-                  hout_ref, cout_ref, rout_ref,
-                  sflat, shval, srefl, zbest, sems,
-                  *, ct: int, zn: int, n_chunks: int, max_w: int,
-                  n_stride: int):
-    """Per (frame, cell-tile): replay the sorted point window as masked VMEM
-    RMWs.
-
-    For each point (one visit): slice-height max into ``hout``, +1 into the
-    cell's count in ``cout``, and a running "highest point wins, first one on
-    ties" scan over (``zbest`` scratch, ``rout``) for the intensity channel.
-    The true z-quantile is reconstructed in-kernel as qz = s_eff + hval
-    (f32-exact, including the inclusive-boundary redirect where hval == 1.0),
-    so the sort needs no extra payload for it.
-
-    The grid is (B, n_tiles) — the batch is a NATIVE grid dimension because
-    ``vmap`` of a scalar-prefetch pallas_call falls back to a sequential
-    ``while`` loop with per-frame dynamic-update-slice assembly of the
-    outputs (~1 ms/frame measured, docs/PALLAS_NOTES.md round-2 trace).
-    The sorted point arrays arrive FLATTENED 1-D with per-frame stride
-    ``n_stride`` (a multiple of the DMA window, keeping every window offset
-    aligned — Mosaic rejects single-row slices of (8,128)-tiled 2-D VMEM).
+def _fused_kernel_grouped(starts_ref, flat_ref, hval_ref, refl_ref,
+                          hout_ref, cout_ref, rout_ref,
+                          sflat, shval, srefl, zbest, sems,
+                          *, ct: int, zn: int, n_chunks: int, max_w: int,
+                          n_stride: int, lane_pad: bool = False):
+    """Per-point VMEM-RMW sweep body (the round-2 kernel) — order-independent
+    within a tile, so it is the only valid body for the ``voxel_order="bin"``
+    grouping (which only buckets points by tile, keeping encounter order),
+    and selectable for sorted orders via ``pipeline.sweep_kernel="rmw"``.
+    The register-cached :func:`_fused_kernel` trades the ~5 VMEM ops per
+    point here for loop-carried vregs plus two branches per point.
     """
     b = pl.program_id(0)
     t = pl.program_id(1)
-    base_flat = t * ct * zn
+    base_flat = t * ct * (_LANES if lane_pad else zn)
     start = starts_ref[b, t]
     end = starts_ref[b, t + 1]
     frame_base = pl.multiple_of(b * n_stride, max_w)
@@ -274,9 +263,16 @@ def _fused_kernel(starts_ref, flat_ref, hval_ref, refl_ref,
                 hout_ref[0, blk] = jnp.maximum(
                     hout_ref[0, blk], jnp.where(lin_ids == off, v, 0.0))
 
-                lc = f // zn                          # local cell [0, ct)
-                s_eff = f - lc * zn
-                qz = s_eff.astype(jnp.float32) + v    # exact (see docstring)
+                if lane_pad:
+                    sc = f // _LANES                  # local supercell
+                    lane = f - sc * _LANES
+                    sub = lane // zn                  # folded (dy, dx)
+                    lc = sc * 4 + sub                 # local cell [0, 4*ct)
+                    s_eff = lane - sub * zn
+                else:
+                    lc = f // zn                      # local cell [0, ct)
+                    s_eff = f - lc * zn
+                qz = s_eff.astype(jnp.float32) + v
                 cblk = lc // (_SUB * _LANES)
                 coff = lc - cblk * (_SUB * _LANES)
                 hit = lin_ids == coff
@@ -294,11 +290,157 @@ def _fused_kernel(starts_ref, flat_ref, hval_ref, refl_ref,
     jax.lax.fori_loop(0, n_chunks, chunk_body, 0)
 
 
+def _fused_kernel(starts_ref, flat_ref, hval_ref, refl_ref,
+                  hout_ref, cout_ref, rout_ref,
+                  sflat, shval, srefl, sems,
+                  *, ct: int, zn: int, n_chunks: int, max_w: int,
+                  n_stride: int, lane_pad: bool = False):
+    """Per (frame, cell-tile): replay the sorted point window with
+    register-resident accumulators.
+
+    ``lane_pad``: the flat heights space is LANE-PADDED — 128 slots per
+    2x2-folded supercell, flat = sc*128 + sub*zn + s_eff with sub = the
+    folded (dy, dx) sub-cell in [0, 4) — so the kernel's flat-block output
+    reshapes bitcast-free into a (h2, w2p, 128) conv-stem input (the
+    round-2 layout's 100-lane minor dim forced a ~0.84 ms/frame XLA
+    relayout, docs/PALLAS_NOTES.md). ``ct`` then counts SUPERCELLS per tile
+    and the cell space for count/intensity is sc*4 + sub. The height
+    accumulation itself is identical — only the f -> (cell, s_eff) map
+    changes.
+
+    For each point (one visit): slice-height max into ``hout``, +1 into the
+    cell's count in ``cout``, and a running "highest point wins, first one on
+    ties" scan for the intensity channel (``rout``). The true z-quantile is
+    reconstructed in-kernel as qz = s_eff + hval (f32-exact, including the
+    inclusive-boundary redirect where hval == 1.0), so the sort needs no
+    extra payload for it.
+
+    Register caching (round 3): an (8, 128) f32 array is exactly ONE vector
+    register on TPU, so the current heights block and the current cell block
+    (count / best-z / intensity) live in loop-carried vregs instead of VMEM.
+    Because the points are sorted by flat index, block ids are monotonically
+    non-decreasing — each block is entered and left once, so the registers
+    flush to VMEM only on block *transitions* (and once at the end). The
+    round-2 kernel instead did ~2 VMEM loads + ~3 VMEM stores per point
+    (2.46 ms/frame ≈ 37 ns/point, docs/PALLAS_NOTES.md); steady state is now
+    ~10 register ops per point.
+
+    The grid is (B, n_tiles) — the batch is a NATIVE grid dimension because
+    ``vmap`` of a scalar-prefetch pallas_call falls back to a sequential
+    ``while`` loop with per-frame dynamic-update-slice assembly of the
+    outputs (~1 ms/frame measured, docs/PALLAS_NOTES.md round-2 trace).
+    The sorted point arrays arrive FLATTENED 1-D with per-frame stride
+    ``n_stride`` (a multiple of the DMA window, keeping every window offset
+    aligned — Mosaic rejects single-row slices of (8,128)-tiled 2-D VMEM).
+    """
+    b = pl.program_id(0)
+    t = pl.program_id(1)
+    base_flat = t * ct * (_LANES if lane_pad else zn)
+    start = starts_ref[b, t]
+    end = starts_ref[b, t + 1]
+    frame_base = pl.multiple_of(b * n_stride, max_w)
+
+    hout_ref[:] = jnp.zeros_like(hout_ref)
+    cout_ref[:] = jnp.zeros_like(cout_ref)
+    rout_ref[:] = jnp.zeros_like(rout_ref)
+    lin_ids = (jax.lax.broadcasted_iota(jnp.int32, (_SUB, _LANES), 0) * _LANES +
+               jax.lax.broadcasted_iota(jnp.int32, (_SUB, _LANES), 1))
+    vzero = jnp.zeros((_SUB, _LANES), jnp.float32)
+
+    start_aligned = pl.multiple_of((start // max_w) * max_w, max_w)
+
+    # loop carry: (heights blk id, heights acc, cell blk id, count acc,
+    # best-qz acc, intensity acc). Initial block id 0 with zero/neutral
+    # accumulators: a first-transition flush then writes the zero-init value
+    # back into block 0, which is a no-op.
+    init = (jnp.int32(0), vzero, jnp.int32(0), vzero, vzero - 1.0, vzero)
+
+    def chunk_body(c, carry):
+        chunk_start = pl.multiple_of(start_aligned + c * max_w, max_w)
+        active = chunk_start < end
+
+        @pl.when(active)
+        def _():
+            src_off = pl.multiple_of(frame_base + chunk_start, max_w)
+            cps = [pltpu.make_async_copy(
+                r.at[pl.ds(src_off, max_w)], s, sems.at[i])
+                for i, (r, s) in enumerate(
+                    [(flat_ref, sflat), (hval_ref, shval), (refl_ref, srefl)])]
+            for cp in cps:
+                cp.start()
+            for cp in cps:
+                cp.wait()
+
+        # inactive chunk -> empty iteration range; carry passes through
+        lo = jnp.where(active, jnp.maximum(start - chunk_start, 0), 0)
+        hi = jnp.where(active, jnp.minimum(end - chunk_start, max_w), 0)
+
+        def point_body(i, pc):
+            hblk, hacc, cblk, cacc, zacc, racc = pc
+            f = sflat[i] - base_flat              # [0, ct*zn)
+            v = shval[i]
+            blk = f // (_SUB * _LANES)
+            off = f - blk * (_SUB * _LANES)
+
+            # flush-on-transition as a side-effect-only branch (pl.when) with
+            # branch-free where-resets of the carried registers: Mosaic keeps
+            # the carries in vregs, while lax.cond with vector RESULTS was
+            # measured pathologically slower (round-3 bench)
+            sw_h = blk != hblk
+
+            @pl.when(sw_h)
+            def _():
+                hout_ref[0, hblk] = hacc
+
+            hacc = jnp.where(sw_h, vzero, hacc)
+            hacc = jnp.maximum(hacc, jnp.where(lin_ids == off, v, 0.0))
+
+            if lane_pad:
+                sc = f // _LANES                  # local supercell
+                lane = f - sc * _LANES
+                sub = lane // zn                  # folded (dy, dx) in [0, 4)
+                lc = sc * 4 + sub                 # local cell [0, 4*ct)
+                s_eff = lane - sub * zn
+            else:
+                lc = f // zn                      # local cell [0, ct)
+                s_eff = f - lc * zn
+            qz = s_eff.astype(jnp.float32) + v    # exact (see docstring)
+            nblk = lc // (_SUB * _LANES)
+            coff = lc - nblk * (_SUB * _LANES)
+
+            sw_c = nblk != cblk
+
+            @pl.when(sw_c)
+            def _():
+                cout_ref[0, cblk] = cacc
+                rout_ref[0, cblk] = racc
+
+            cacc = jnp.where(sw_c, vzero, cacc)
+            zacc = jnp.where(sw_c, vzero - 1.0, zacc)
+            racc = jnp.where(sw_c, vzero, racc)
+            hit = lin_ids == coff
+            cacc = cacc + jnp.where(hit, 1.0, 0.0)
+            upd = hit & (qz > zacc)
+            zacc = jnp.where(upd, qz, zacc)
+            racc = jnp.where(upd, srefl[i], racc)
+            return (blk, hacc, nblk, cacc, zacc, racc)
+
+        return jax.lax.fori_loop(lo, hi, point_body, carry)
+
+    hblk, hacc, cblk, cacc, _, racc = jax.lax.fori_loop(
+        0, n_chunks, chunk_body, init)
+    # final flush (no-op writes of the zero init if the tile had no points)
+    hout_ref[0, hblk] = hacc
+    cout_ref[0, cblk] = cacc
+    rout_ref[0, cblk] = racc
+
+
 def scatter_top_fused_batched(flat: jnp.ndarray, hval: jnp.ndarray,
                               refl: jnp.ndarray, n_cells: int, zn: int,
                               interpret: Optional[bool] = None,
                               order: str = "sort",
-                              heights_dtype=jnp.float32
+                              heights_dtype=jnp.float32,
+                              body: str = "rmw"
                               ) -> Tuple[jnp.ndarray, jnp.ndarray,
                                          jnp.ndarray]:
     """Batched sorted sweep: (B, n) inputs -> (heights (B, n_cells*zn),
@@ -377,6 +519,10 @@ def scatter_top_fused_batched(flat: jnp.ndarray, hval: jnp.ndarray,
     srefl = jnp.pad(srefl, pad).reshape(-1)
     n_chunks = -(-n // _MAX_W) + 1
 
+    # "bin" only groups by tile (encounter order within a tile) -> the
+    # register-cached kernel's monotone-block invariant doesn't hold; it
+    # must use the order-independent RMW body.
+    use_rmw = order == "bin" or body == "rmw"
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
         grid=(bsz, n_tiles),
@@ -394,11 +540,13 @@ def scatter_top_fused_batched(flat: jnp.ndarray, hval: jnp.ndarray,
         ],
         scratch_shapes=[pltpu.SMEM((_MAX_W,), jnp.int32),
                         pltpu.SMEM((_MAX_W,), jnp.float32),
-                        pltpu.SMEM((_MAX_W,), jnp.float32),
-                        pltpu.VMEM((c_blocks, _SUB, _LANES), jnp.float32),
-                        pltpu.SemaphoreType.DMA((3,))],
+                        pltpu.SMEM((_MAX_W,), jnp.float32)]
+        + ([pltpu.VMEM((c_blocks, _SUB, _LANES), jnp.float32)]
+           if use_rmw else [])
+        + [pltpu.SemaphoreType.DMA((3,))],
     )
-    kernel = functools.partial(_fused_kernel, ct=_CT, zn=int(zn),
+    kernel_body = _fused_kernel_grouped if use_rmw else _fused_kernel
+    kernel = functools.partial(kernel_body, ct=_CT, zn=int(zn),
                                n_chunks=int(n_chunks), max_w=_MAX_W,
                                n_stride=int(n_stride))
     heights, count, inten = pl.pallas_call(
@@ -421,15 +569,117 @@ def scatter_top_fused_batched(flat: jnp.ndarray, hval: jnp.ndarray,
             inten.reshape(bsz, -1)[:, :n_cells])
 
 
+_SC_T = 1024          # supercells per lane-padded tile: 131072 flat slots
+                      # = 512 KB f32 VMEM (heights), 4096 cells = 4 blocks
+
+
+def scatter_top_padded_batched(flat: jnp.ndarray, hval: jnp.ndarray,
+                               refl: jnp.ndarray, n_sc: int, zn: int,
+                               interpret: Optional[bool] = None,
+                               body: str = "rmw"
+                               ) -> Tuple[jnp.ndarray, jnp.ndarray,
+                                          jnp.ndarray]:
+    """Lane-padded batched sorted sweep (``view_layout="s2d2p"``).
+
+    ``flat`` = sc*128 + sub*zn + s_eff over 2x2-folded supercells sc in
+    [0, n_sc) row-major over the (h2, w2p) folded grid, sub = (dy*2+dx);
+    entries >= n_sc*128 are padding. Returns
+
+      * heights BLOCKS (B, n_sc/8, 8, 128) f32 — physically identical to the
+        (B, h2, w2p, 128) conv-stem input when w2p %% 8 == 0 (each (8, 128)
+        block is 8 consecutive supercells of one row), so the caller's
+        reshape is layout-preserving — the whole point of this layout;
+      * count (B, n_sc*4) and intensity (B, n_sc*4) per folded cell
+        (cell = sc*4 + sub), for the 8-channel aux plane of the split stem.
+
+    Only the sorted order is supported (the register-cached kernel needs
+    monotone block ids). Requires 4*zn <= 128 and n_sc %% 8 == 0.
+    """
+    bsz, n = flat.shape
+    if interpret is None:
+        interpret = jax.default_backend() == "cpu"
+    assert 4 * zn <= _LANES, (zn,)
+    assert n_sc % _SUB == 0, (n_sc,)
+
+    n_flat = n_sc * _LANES
+    n_sc_pad = -(-n_sc // _SC_T) * _SC_T
+    n_tiles = n_sc_pad // _SC_T
+    n_flat_pad = n_sc_pad * _LANES
+    blk = _SUB * _LANES
+    h_blocks = (_SC_T * _LANES) // blk
+    c_blocks = (_SC_T * 4) // blk
+
+    flat = jnp.where(flat >= n_flat, n_flat_pad, flat.astype(jnp.int32))
+    sflat, shval, srefl = jax.lax.sort(
+        (flat, hval.astype(jnp.float32), refl.astype(jnp.float32)),
+        num_keys=1)
+    bounds = jnp.arange(n_tiles + 1, dtype=jnp.int32) * (_SC_T * _LANES)
+    starts = jax.vmap(
+        lambda row: jnp.searchsorted(row, bounds))(sflat[:, :n])
+    starts = starts.astype(jnp.int32)
+
+    pad_cols = _MAX_W + (-n % _MAX_W)
+    n_stride = n + pad_cols
+    pad = ((0, 0), (0, pad_cols))
+    sflat = jnp.pad(sflat, pad, constant_values=n_flat_pad).reshape(-1)
+    shval = jnp.pad(shval, pad).reshape(-1)
+    srefl = jnp.pad(srefl, pad).reshape(-1)
+    n_chunks = -(-n // _MAX_W) + 1
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(bsz, n_tiles),
+        in_specs=[pl.BlockSpec(memory_space=pl.ANY)] * 3,
+        out_specs=[
+            pl.BlockSpec((1, h_blocks, _SUB, _LANES),
+                         lambda b, i, *_: (b, i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, c_blocks, _SUB, _LANES),
+                         lambda b, i, *_: (b, i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, c_blocks, _SUB, _LANES),
+                         lambda b, i, *_: (b, i, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        scratch_shapes=[pltpu.SMEM((_MAX_W,), jnp.int32),
+                        pltpu.SMEM((_MAX_W,), jnp.float32),
+                        pltpu.SMEM((_MAX_W,), jnp.float32)]
+        + ([pltpu.VMEM((c_blocks, _SUB, _LANES), jnp.float32)]
+           if body == "rmw" else [])
+        + [pltpu.SemaphoreType.DMA((3,))],
+    )
+    kernel_body = _fused_kernel_grouped if body == "rmw" else _fused_kernel
+    kernel = functools.partial(kernel_body, ct=_SC_T, zn=int(zn),
+                               n_chunks=int(n_chunks), max_w=_MAX_W,
+                               n_stride=int(n_stride), lane_pad=True)
+    heights, count, inten = pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=[
+            jax.ShapeDtypeStruct((bsz, n_tiles * h_blocks, _SUB, _LANES),
+                                 jnp.float32),
+            jax.ShapeDtypeStruct((bsz, n_tiles * c_blocks, _SUB, _LANES),
+                                 jnp.float32),
+            jax.ShapeDtypeStruct((bsz, n_tiles * c_blocks, _SUB, _LANES),
+                                 jnp.float32),
+        ],
+        interpret=interpret,
+    )(starts, sflat, shval, srefl)
+    heights = heights[:, :n_sc // _SUB]           # tile-aligned block slice
+    return (heights,
+            count.reshape(bsz, -1)[:, :n_sc * 4],
+            inten.reshape(bsz, -1)[:, :n_sc * 4])
+
+
 def scatter_top_fused(flat: jnp.ndarray, hval: jnp.ndarray,
                       refl: jnp.ndarray, n_cells: int, zn: int,
                       interpret: Optional[bool] = None,
-                      order: str = "sort"
+                      order: str = "sort", body: str = "rmw"
                       ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
     """Single-frame wrapper over :func:`scatter_top_fused_batched` (B=1)."""
     heights, count, inten = scatter_top_fused_batched(
         flat[None], hval[None], refl[None], n_cells, zn,
-        interpret=interpret, order=order)
+        interpret=interpret, order=order, body=body)
     return heights[0], count[0], inten[0]
 
 

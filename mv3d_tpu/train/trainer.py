@@ -40,6 +40,22 @@ def _as_jnp(v):
     return jnp.asarray(v)
 
 
+def _batchify_view(v):
+    """To-device + add a batch dim if single-frame; handles the "s2d2p"
+    (heights, aux) pair."""
+    if isinstance(v, (tuple, list)):
+        return tuple(_batchify_view(x) for x in v)
+    a = jnp.asarray(v)
+    return a[None] if a.ndim == 3 else a
+
+
+def _frame0(view):
+    """First frame of a batched view (pair-aware)."""
+    if isinstance(view, (tuple, list)):
+        return tuple(x[0] for x in view)
+    return view[0]
+
+
 def _prepare_views(batch: Dict[str, jnp.ndarray], cfg: Config
                    ) -> Dict[str, jnp.ndarray]:
     """Fill in top/front views from raw points if not precomputed (in-graph).
@@ -167,16 +183,9 @@ class MV3D:
         """
         if score_threshold is None:
             score_threshold = self.cfg.rcnn.score_threshold
-
-        def batchify(v):
-            if isinstance(v, (tuple, list)):    # "s2d2p" (heights, aux) pair
-                return tuple(batchify(x) for x in v)
-            a = jnp.asarray(v)
-            return a[None] if a.ndim == 3 else a
-
-        top = batchify(top_view)
-        rgb = batchify(rgb_image)
-        front = batchify(front_view)
+        top = _batchify_view(top_view)
+        rgb = _batchify_view(rgb_image)
+        front = _batchify_view(front_view)
         dets, _ = self._infer(self.variables, top, rgb, front,
                               jnp.float32(score_threshold))
         mask = np.asarray(dets.mask[0])
@@ -474,7 +483,7 @@ class PredictorForTest(MV3D):
             outs, _ = model.extract_features(variables, top, rgb, front,
                                              train=False)
             rpn = outs["rpn"]
-            inside = model.anchor_mask(top[0])
+            inside = model.anchor_mask(_frame0(top))
             props = rpn_proposals(rpn["scores"][0], rpn["deltas"][0],
                                   model.anchors, inside, config)
             rois3d = box3d_ops.top_box_to_box3d(props.rois[:, 1:5], config)
@@ -504,8 +513,7 @@ class PredictorForTest(MV3D):
                  nms_threshold: Optional[float] = None, gt_boxes3d=None):
         if nms_threshold is None:
             nms_threshold = self.cfg.rcnn.score_threshold
-        top = jnp.asarray(top_view)
-        top = top[None] if top.ndim == 3 else top
+        top = _batchify_view(top_view)
         rgb = jnp.asarray(rgb_image)
         rgb = rgb[None] if rgb.ndim == 3 else rgb
         front = jnp.asarray(front_view)
@@ -524,7 +532,9 @@ class PredictorForTest(MV3D):
             setattr(self, "probs" + head, p)
         pm = np.asarray(props.mask)
         self._last = {
-            "top": np.asarray(top[0]), "rgb": np.asarray(rgb[0]),
+            # pair views have no single drawable plane; keep the heights
+            "top": np.asarray(_frame0(top)[0] if isinstance(top, tuple)
+                              else top[0]), "rgb": np.asarray(rgb[0]),
             "proposals": np.asarray(props.rois)[pm][:, 1:5],
             "boxes3d": boxes3d,
             "gt_boxes3d": (np.asarray(gt_boxes3d)
@@ -634,11 +644,11 @@ class TesterRPN(MV3D):
 
         def _rpn(variables, top):
             out = model.top_rpn.apply(variables["top_view_rpn"], top, False)
-            # model.anchor_mask handles BOTH view layouts ("hwc" and the
-            # folded "s2d2") — the generic non_empty_anchor_mask assumes an
-            # unfolded (H, W, C) view and would silently compute a wrong
-            # occupancy on the folded serving layout
-            inside = model.anchor_mask(top[0])
+            # model.anchor_mask handles ALL view layouts ("hwc", folded
+            # "s2d2", and the "s2d2p" pair) — the generic
+            # non_empty_anchor_mask assumes an unfolded (H, W, C) view and
+            # would silently compute a wrong occupancy on folded layouts
+            inside = model.anchor_mask(_frame0(top))
             props = rpn_proposals(out["scores"][0], out["deltas"][0],
                                   model.anchors, inside, config)
             return props, out["score_map"]
@@ -646,9 +656,7 @@ class TesterRPN(MV3D):
         self._rpn = jax.jit(_rpn)
 
     def __call__(self, top_view):
-        top = jnp.asarray(top_view)
-        if top.ndim == 3:
-            top = top[None]
+        top = _batchify_view(top_view)
         props, heatmap = self._rpn(self.variables, top)
         mask = np.asarray(props.mask)
         return (np.asarray(props.rois)[mask], np.asarray(props.scores)[mask],
@@ -694,9 +702,7 @@ class Tester3DOP(MV3D):
                  score_threshold: Optional[float] = None):
         if score_threshold is None:
             score_threshold = self.cfg.rcnn.score_threshold
-        top = jnp.asarray(top_view)
-        if top.ndim == 3:
-            top = top[None]
+        top = _batchify_view(top_view)
         rgb = jnp.asarray(rgb_image)
         if rgb.ndim == 3:
             rgb = rgb[None]

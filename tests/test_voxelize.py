@@ -239,15 +239,18 @@ def test_pallas_fused_kernel_parity(rng):
     padded, _ = voxelize.pad_points(pts, 8192)
 
     want = voxelize_ref.lidar_to_top_np(pts, SMALL)
-    fcfg = dataclasses.replace(SMALL, pipeline=dataclasses.replace(
-        SMALL.pipeline, use_pallas_fused=True))
-    got = np.asarray(voxelize.lidar_to_top(padded, fcfg))
-    np.testing.assert_allclose(got, want, rtol=0, atol=5e-5)
+    for body in ("rmw", "regcache"):
+        fcfg = dataclasses.replace(SMALL, pipeline=dataclasses.replace(
+            SMALL.pipeline, use_pallas_fused=True, sweep_kernel=body))
+        got = np.asarray(voxelize.lidar_to_top(padded, fcfg))
+        np.testing.assert_allclose(got, want, rtol=0, atol=5e-5,
+                                   err_msg=body)
 
-    # batched path
-    got_b = np.asarray(voxelize.lidar_to_top_batch(
-        np.stack([padded, padded]), fcfg))
-    np.testing.assert_allclose(got_b[1], want, rtol=0, atol=5e-5)
+        # batched path
+        got_b = np.asarray(voxelize.lidar_to_top_batch(
+            np.stack([padded, padded]), fcfg))
+        np.testing.assert_allclose(got_b[1], want, rtol=0, atol=5e-5,
+                                   err_msg=body)
 
 
 @pytest.mark.slow
@@ -291,6 +294,35 @@ def test_return_occ_mask_parity(rng):
         # occ zero-set == view channel-sum zero-set
         view_sum = np.asarray(top).sum(-1)
         np.testing.assert_array_equal(np.asarray(occ) > 0, view_sum > 0)
+
+
+def test_s2d2p_view_layout_is_lane_padded_fold(rng):
+    """view_layout=s2d2p emits the lane-padded (heights, aux) pair equal to
+    fold_view_s2d2p(standard view) bit-exactly — the kernel's block output
+    IS the split-stem input, no relayout — with identical occupancy."""
+    pts = make_cloud(rng, 3000, SMALL)
+    padded, _ = voxelize.pad_points(pts, 8192)
+    batch = np.stack([padded, padded])
+    base = dataclasses.replace(SMALL, pipeline=dataclasses.replace(
+        SMALL.pipeline, use_pallas_fused=True))
+    top_h, occ_h = voxelize.lidar_to_top_batch(batch, base, return_occ=True)
+    t = SMALL.top
+    w2p = voxelize.folded_pad_width(t.yn)
+    want_h, want_aux = voxelize.fold_view_s2d2p(top_h)
+    for body in ("rmw", "regcache"):
+        padc = dataclasses.replace(SMALL, pipeline=dataclasses.replace(
+            SMALL.pipeline, use_pallas_fused=True, view_layout="s2d2p",
+            sweep_kernel=body))
+        (heights, aux), occ_p = voxelize.lidar_to_top_batch(batch, padc,
+                                                            return_occ=True)
+        assert heights.shape == (2, t.xn // 2, w2p, 128)
+        assert aux.shape == (2, t.xn // 2, w2p, 8)
+        np.testing.assert_array_equal(np.asarray(heights),
+                                      np.asarray(want_h), err_msg=body)
+        np.testing.assert_array_equal(np.asarray(aux), np.asarray(want_aux),
+                                      err_msg=body)
+        np.testing.assert_array_equal(np.asarray(occ_h), np.asarray(occ_p),
+                                      err_msg=body)
 
 
 def test_bf16_view_dtype_is_rounded_f32(rng):
