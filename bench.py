@@ -35,10 +35,10 @@ import time
 
 import numpy as np
 
-# serving batch: measured throughput curve on v5e (s2d2+bf16 serving
-# config) — batch 8: 143.4 fps / 56 ms step, 16: 150.6 / 106 ms,
-# 32: 154.5 / 207 ms. 16 is the knee (throughput within 3% of batch 32 at
-# half the latency).
+# serving batch: measured batch-16 knee on v5e (throughput within 3% of
+# batch 32 at half the latency; round-2 curve 8/16/32 = 143.4/150.6/154.5
+# on the old s2d2 layout). Round-3 serving config (s2d2p + rmw sweep +
+# 4096-supercell tiles): 168.1 fps at batch 16.
 BATCH = int(os.environ.get("BENCH_BATCH", "16"))
 N_WARM = 2
 N_MEAS = 12
@@ -67,7 +67,8 @@ def main():
         # (H/2, W2P, 128) input — zero relayout anywhere — function-
         # equivalent to the standard view (bit-exact vs s2d2 on TPU, and
         # s2d2 is a tested channel permutation of the standard view).
-        # Measured r3 (batch 16): s2d2 151.9 fps -> s2d2p 164.8 fps.
+        # Measured r3 (batch 16): s2d2 151.9 -> s2d2p 164.8 -> 168.1 fps
+        # (dynamic chunk counts + 4096-supercell tiles).
         cfg = dataclasses.replace(cfg, pipeline=dataclasses.replace(
             cfg.pipeline, use_pallas_fused=True, use_pallas_heights=True,
             view_layout="s2d2p", top_view_dtype="bfloat16"))

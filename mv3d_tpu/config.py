@@ -183,6 +183,12 @@ class ModelConfig:
     #    MXU-aligned channel counts instead of 27/3-channel 7x7 convs.
     upsample_features: bool = False
     stem_space_to_depth: bool = True
+    # backbone ablation surface (reference ResnetBuilder family
+    # resnet.py:185-258 and the VGG rgb trunk mv3d_net.py:214-252,
+    # cfg.RGB_BASENET config.py:63). Live defaults match resnet_tiny.
+    rgb_basenet: str = "resnet"                 # "resnet" | "vgg"
+    backbone_block: str = "bottleneck"          # "bottleneck" | "basic"
+    backbone_repetitions: Tuple[int, ...] = (3, 4)   # stride 4*2^(len-1)
 
     def pool_stride(self, view: str) -> int:
         """Effective feature stride ROI pooling sees for a view."""

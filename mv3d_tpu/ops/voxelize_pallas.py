@@ -52,36 +52,36 @@ def _kernel(starts_ref, flat_ref, val_ref, out_ref, sflat, sval, sems,
 
     def chunk_body(c, _):
         chunk_start = pl.multiple_of(start_aligned + c * max_w, max_w)
+        cp_f = pltpu.make_async_copy(
+            flat_ref.at[pl.ds(chunk_start, max_w)], sflat, sems.at[0])
+        cp_v = pltpu.make_async_copy(
+            val_ref.at[pl.ds(chunk_start, max_w)], sval, sems.at[1])
+        cp_f.start()
+        cp_v.start()
+        cp_f.wait()
+        cp_v.wait()
+        lo = jnp.maximum(start - chunk_start, 0)
+        hi = jnp.minimum(end - chunk_start, max_w)
 
-        @pl.when(chunk_start < end)
-        def _():
-            cp_f = pltpu.make_async_copy(
-                flat_ref.at[pl.ds(chunk_start, max_w)], sflat, sems.at[0])
-            cp_v = pltpu.make_async_copy(
-                val_ref.at[pl.ds(chunk_start, max_w)], sval, sems.at[1])
-            cp_f.start()
-            cp_v.start()
-            cp_f.wait()
-            cp_v.wait()
-            lo = jnp.maximum(start - chunk_start, 0)
-            hi = jnp.minimum(end - chunk_start, max_w)
+        def point_body(i, _):
+            idx = sflat[i] - base                 # [0, tile_flat)
+            v = sval[i]
+            blk = idx // (_SUB * _LANES)
+            off = idx - blk * (_SUB * _LANES)
+            cur = out_ref[blk]                    # (8, 128) VMEM tile
+            # single-compare hit mask; max(cur, select) = masked max
+            out_ref[blk] = jnp.maximum(
+                cur, jnp.where(lin_ids == off, v, 0.0))
+            return 0
 
-            def point_body(i, _):
-                idx = sflat[i] - base                 # [0, tile_flat)
-                v = sval[i]
-                blk = idx // (_SUB * _LANES)
-                off = idx - blk * (_SUB * _LANES)
-                cur = out_ref[blk]                    # (8, 128) VMEM tile
-                # single-compare hit mask; max(cur, select) = masked max
-                out_ref[blk] = jnp.maximum(
-                    cur, jnp.where(lin_ids == off, v, 0.0))
-                return 0
-
-            jax.lax.fori_loop(lo, hi, point_body, 0)
-
+        jax.lax.fori_loop(lo, hi, point_body, 0)
         return 0
 
-    jax.lax.fori_loop(0, n_chunks, chunk_body, 0)
+    # dynamic trip count: only chunks overlapping this tile's window run
+    # (the static bound wastes ~n_chunks branch iterations per program)
+    n_active = jnp.clip((end - start_aligned + max_w - 1) // max_w,
+                        0, n_chunks)
+    jax.lax.fori_loop(0, n_active, chunk_body, 0)
 
 
 def scatter_max_sorted(flat: jnp.ndarray, val: jnp.ndarray, n_flat: int,
@@ -240,54 +240,205 @@ def _fused_kernel_grouped(starts_ref, flat_ref, hval_ref, refl_ref,
 
     def chunk_body(c, _):
         chunk_start = pl.multiple_of(start_aligned + c * max_w, max_w)
+        src_off = pl.multiple_of(frame_base + chunk_start, max_w)
+        cps = [pltpu.make_async_copy(
+            r.at[pl.ds(src_off, max_w)], s, sems.at[i])
+            for i, (r, s) in enumerate(
+                [(flat_ref, sflat), (hval_ref, shval), (refl_ref, srefl)])]
+        for cp in cps:
+            cp.start()
+        for cp in cps:
+            cp.wait()
+        lo = jnp.maximum(start - chunk_start, 0)
+        hi = jnp.minimum(end - chunk_start, max_w)
 
-        @pl.when(chunk_start < end)
-        def _():
-            src_off = pl.multiple_of(frame_base + chunk_start, max_w)
-            cps = [pltpu.make_async_copy(
-                r.at[pl.ds(src_off, max_w)], s, sems.at[i])
-                for i, (r, s) in enumerate(
-                    [(flat_ref, sflat), (hval_ref, shval), (refl_ref, srefl)])]
-            for cp in cps:
-                cp.start()
-            for cp in cps:
-                cp.wait()
-            lo = jnp.maximum(start - chunk_start, 0)
-            hi = jnp.minimum(end - chunk_start, max_w)
+        def point_body(i, _):
+            f = sflat[i] - base_flat              # [0, ct*zn)
+            v = shval[i]
+            blk = f // (_SUB * _LANES)
+            off = f - blk * (_SUB * _LANES)
+            hout_ref[0, blk] = jnp.maximum(
+                hout_ref[0, blk], jnp.where(lin_ids == off, v, 0.0))
 
-            def point_body(i, _):
-                f = sflat[i] - base_flat              # [0, ct*zn)
-                v = shval[i]
-                blk = f // (_SUB * _LANES)
-                off = f - blk * (_SUB * _LANES)
-                hout_ref[0, blk] = jnp.maximum(
-                    hout_ref[0, blk], jnp.where(lin_ids == off, v, 0.0))
+            if lane_pad:
+                sc = f // _LANES                  # local supercell
+                lane = f - sc * _LANES
+                sub = lane // zn                  # folded (dy, dx)
+                lc = sc * 4 + sub                 # local cell [0, 4*ct)
+                s_eff = lane - sub * zn
+            else:
+                lc = f // zn                      # local cell [0, ct)
+                s_eff = f - lc * zn
+            qz = s_eff.astype(jnp.float32) + v
+            cblk = lc // (_SUB * _LANES)
+            coff = lc - cblk * (_SUB * _LANES)
+            hit = lin_ids == coff
+            cout_ref[0, cblk] = cout_ref[0, cblk] + jnp.where(hit, 1.0, 0.0)
+            zb = zbest[cblk]
+            upd = hit & (qz > zb)
+            zbest[cblk] = jnp.where(upd, qz, zb)
+            rout_ref[0, cblk] = jnp.where(upd, srefl[i], rout_ref[0, cblk])
+            return 0
 
-                if lane_pad:
-                    sc = f // _LANES                  # local supercell
-                    lane = f - sc * _LANES
-                    sub = lane // zn                  # folded (dy, dx)
-                    lc = sc * 4 + sub                 # local cell [0, 4*ct)
-                    s_eff = lane - sub * zn
-                else:
-                    lc = f // zn                      # local cell [0, ct)
-                    s_eff = f - lc * zn
-                qz = s_eff.astype(jnp.float32) + v
-                cblk = lc // (_SUB * _LANES)
-                coff = lc - cblk * (_SUB * _LANES)
-                hit = lin_ids == coff
-                cout_ref[0, cblk] = cout_ref[0, cblk] + jnp.where(hit, 1.0, 0.0)
-                zb = zbest[cblk]
-                upd = hit & (qz > zb)
-                zbest[cblk] = jnp.where(upd, qz, zb)
-                rout_ref[0, cblk] = jnp.where(upd, srefl[i], rout_ref[0, cblk])
-                return 0
-
-            jax.lax.fori_loop(lo, hi, point_body, 0)
-
+        jax.lax.fori_loop(lo, hi, point_body, 0)
         return 0
 
-    jax.lax.fori_loop(0, n_chunks, chunk_body, 0)
+    # dynamic trip count: most tiles hold well under one DMA window of
+    # points, while the static bound n_chunks covers the whole frame — a
+    # fori to the static bound costs ~n_chunks wasted branch iterations in
+    # EVERY grid program (~1 ms/frame at (B, n_tiles) = (16, 119), measured
+    # round 3, docs/PALLAS_NOTES.md)
+    n_active = jnp.clip((end - start_aligned + max_w - 1) // max_w,
+                        0, n_chunks)
+    jax.lax.fori_loop(0, n_active, chunk_body, 0)
+
+
+def _fused_kernel_chains(starts_ref, flat_ref, hval_ref, refl_ref,
+                         hout_ref, cout_ref, rout_ref,
+                         sflat, shval, srefl, zsc, isc, sems,
+                         *, ct: int, zn: int, n_chunks: int, max_w: int,
+                         n_stride: int, lane_pad: bool = False,
+                         k_chains: int = 4):
+    """Multi-chain sweep: each DMA chunk's point window is split into
+    ``k_chains`` CONTIGUOUS segments processed in lockstep, one register
+    accumulator set per chain.
+
+    Why: the single-chain bodies are serialized per point — the RMW body by
+    unprovable load-after-store hazards on the output blocks (consecutive
+    points may hit the same (8, 128) block), the regcache body by its
+    loop-carried vector dependency chain. K independent contiguous segments
+    give the scheduler K interleavable dependency chains (~K-way ILP on
+    both the scalar address math and the vector selects) while keeping each
+    chain's stream sorted, so the within-chain tie rule stays "first point
+    wins" and flushes stay rare (one per block per chain).
+
+    Cross-chain/cross-chunk correctness comes from MERGE flushes instead of
+    overwrites: heights merge with max, counts with add, and the intensity
+    winner with a (best-z, global point index) lexicographic compare held
+    in the ``zsc``/``isc`` scratch — so two chains (or two chunks) that
+    split one block's points combine associatively, in any flush order.
+    The global sort position breaks z-ties exactly like the reference's
+    first-point-wins scan (indices < 2^24 are exact in f32).
+    """
+    b = pl.program_id(0)
+    t = pl.program_id(1)
+    base_flat = t * ct * (_LANES if lane_pad else zn)
+    start = starts_ref[b, t]
+    end = starts_ref[b, t + 1]
+    frame_base = pl.multiple_of(b * n_stride, max_w)
+
+    hout_ref[:] = jnp.zeros_like(hout_ref)
+    cout_ref[:] = jnp.zeros_like(cout_ref)
+    rout_ref[:] = jnp.zeros_like(rout_ref)
+    zsc[:] = jnp.full_like(zsc, -1.0)
+    isc[:] = jnp.full_like(isc, 3.0e7)          # > any point index
+    lin_ids = (jax.lax.broadcasted_iota(jnp.int32, (_SUB, _LANES), 0) * _LANES +
+               jax.lax.broadcasted_iota(jnp.int32, (_SUB, _LANES), 1))
+    vzero = jnp.zeros((_SUB, _LANES), jnp.float32)
+
+    start_aligned = pl.multiple_of((start // max_w) * max_w, max_w)
+
+    def flush_h(hblk, hacc):
+        hout_ref[0, hblk] = jnp.maximum(hout_ref[0, hblk], hacc)
+
+    def flush_c(cblk, cacc, zacc, iacc, racc):
+        cout_ref[0, cblk] = cout_ref[0, cblk] + cacc
+        zcur = zsc[cblk]
+        icur = isc[cblk]
+        better = (zacc > zcur) | ((zacc == zcur) & (iacc < icur))
+        zsc[cblk] = jnp.where(better, zacc, zcur)
+        isc[cblk] = jnp.where(better, iacc, icur)
+        rout_ref[0, cblk] = jnp.where(better, racc, rout_ref[0, cblk])
+
+    def chunk_body(c, _):
+        chunk_start = pl.multiple_of(start_aligned + c * max_w, max_w)
+        src_off = pl.multiple_of(frame_base + chunk_start, max_w)
+        cps = [pltpu.make_async_copy(
+            r.at[pl.ds(src_off, max_w)], s, sems.at[i])
+            for i, (r, s) in enumerate(
+                [(flat_ref, sflat), (hval_ref, shval), (refl_ref, srefl)])]
+        for cp in cps:
+            cp.start()
+        for cp in cps:
+            cp.wait()
+        lo = jnp.maximum(start - chunk_start, 0)
+        hi = jnp.minimum(end - chunk_start, max_w)
+        seg = (hi - lo + k_chains - 1) // k_chains
+        los = [lo + k * seg for k in range(k_chains)]
+        lims = [jnp.minimum(lo + (k + 1) * seg, hi) for k in range(k_chains)]
+
+        def point_body(j, carry):
+            new = []
+            for k in range(k_chains):
+                hblk, hacc, cblk, cacc, zacc, iacc, racc = carry[k]
+                i = los[k] + j
+                valid = i < lims[k]
+                ir = jnp.minimum(i, max_w - 1)
+                f = sflat[ir] - base_flat
+                v = jnp.where(valid, shval[ir], 0.0)
+                blk = f // (_SUB * _LANES)
+                off = f - blk * (_SUB * _LANES)
+                sw = valid & (blk != hblk)
+
+                @pl.when(sw)
+                def _(hblk=hblk, hacc=hacc):
+                    flush_h(hblk, hacc)
+
+                hacc = jnp.where(sw, vzero, hacc)
+                hblk = jnp.where(sw, blk, hblk)
+                hacc = jnp.maximum(hacc, jnp.where(
+                    valid & (lin_ids == off), v, 0.0))
+
+                if lane_pad:
+                    sc = f // _LANES
+                    lane = f - sc * _LANES
+                    sub = lane // zn
+                    lc = sc * 4 + sub
+                    s_eff = lane - sub * zn
+                else:
+                    lc = f // zn
+                    s_eff = f - lc * zn
+                qz = s_eff.astype(jnp.float32) + v
+                nblk = lc // (_SUB * _LANES)
+                coff = lc - nblk * (_SUB * _LANES)
+                sw_c = valid & (nblk != cblk)
+
+                @pl.when(sw_c)
+                def _(cblk=cblk, cacc=cacc, zacc=zacc, iacc=iacc, racc=racc):
+                    flush_c(cblk, cacc, zacc, iacc, racc)
+
+                cacc = jnp.where(sw_c, vzero, cacc)
+                zacc = jnp.where(sw_c, vzero - 1.0, zacc)
+                iacc = jnp.where(sw_c, vzero + 3.0e7, iacc)
+                racc = jnp.where(sw_c, vzero, racc)
+                cblk = jnp.where(sw_c, nblk, cblk)
+
+                hit = valid & (lin_ids == coff)
+                cacc = cacc + jnp.where(hit, 1.0, 0.0)
+                # within a chain the stream is sorted, so strict > keeps
+                # the first (lowest-index) point on qz ties
+                upd = hit & (qz > zacc)
+                idxv = (chunk_start + i).astype(jnp.float32)
+                zacc = jnp.where(upd, qz, zacc)
+                iacc = jnp.where(upd, idxv, iacc)
+                racc = jnp.where(upd, srefl[ir], racc)
+                new.append((hblk, hacc, cblk, cacc, zacc, iacc, racc))
+            return tuple(new)
+
+        init = tuple(
+            (jnp.int32(0), vzero, jnp.int32(0), vzero, vzero - 1.0,
+             vzero + 3.0e7, vzero) for _ in range(k_chains))
+        carry = jax.lax.fori_loop(0, seg, point_body, init)
+        # tail: merge every chain's open blocks (no cross-chunk carry)
+        for k in range(k_chains):
+            hblk, hacc, cblk, cacc, zacc, iacc, racc = carry[k]
+            flush_h(hblk, hacc)
+            flush_c(cblk, cacc, zacc, iacc, racc)
+        return 0
+
+    n_active = jnp.clip((end - start_aligned + max_w - 1) // max_w,
+                        0, n_chunks)
+    jax.lax.fori_loop(0, n_active, chunk_body, 0)
 
 
 def _fused_kernel(starts_ref, flat_ref, hval_ref, refl_ref,
@@ -357,23 +508,17 @@ def _fused_kernel(starts_ref, flat_ref, hval_ref, refl_ref,
 
     def chunk_body(c, carry):
         chunk_start = pl.multiple_of(start_aligned + c * max_w, max_w)
-        active = chunk_start < end
-
-        @pl.when(active)
-        def _():
-            src_off = pl.multiple_of(frame_base + chunk_start, max_w)
-            cps = [pltpu.make_async_copy(
-                r.at[pl.ds(src_off, max_w)], s, sems.at[i])
-                for i, (r, s) in enumerate(
-                    [(flat_ref, sflat), (hval_ref, shval), (refl_ref, srefl)])]
-            for cp in cps:
-                cp.start()
-            for cp in cps:
-                cp.wait()
-
-        # inactive chunk -> empty iteration range; carry passes through
-        lo = jnp.where(active, jnp.maximum(start - chunk_start, 0), 0)
-        hi = jnp.where(active, jnp.minimum(end - chunk_start, max_w), 0)
+        src_off = pl.multiple_of(frame_base + chunk_start, max_w)
+        cps = [pltpu.make_async_copy(
+            r.at[pl.ds(src_off, max_w)], s, sems.at[i])
+            for i, (r, s) in enumerate(
+                [(flat_ref, sflat), (hval_ref, shval), (refl_ref, srefl)])]
+        for cp in cps:
+            cp.start()
+        for cp in cps:
+            cp.wait()
+        lo = jnp.maximum(start - chunk_start, 0)
+        hi = jnp.minimum(end - chunk_start, max_w)
 
         def point_body(i, pc):
             hblk, hacc, cblk, cacc, zacc, racc = pc
@@ -427,8 +572,12 @@ def _fused_kernel(starts_ref, flat_ref, hval_ref, refl_ref,
 
         return jax.lax.fori_loop(lo, hi, point_body, carry)
 
+    # dynamic trip count (see _fused_kernel_grouped): only chunks that
+    # overlap this tile's point window run
+    n_active = jnp.clip((end - start_aligned + max_w - 1) // max_w,
+                        0, n_chunks)
     hblk, hacc, cblk, cacc, _, racc = jax.lax.fori_loop(
-        0, n_chunks, chunk_body, init)
+        0, n_active, chunk_body, init)
     # final flush (no-op writes of the zero init if the tile had no points)
     hout_ref[0, hblk] = hacc
     cout_ref[0, cblk] = cacc
@@ -520,9 +669,14 @@ def scatter_top_fused_batched(flat: jnp.ndarray, hval: jnp.ndarray,
     n_chunks = -(-n // _MAX_W) + 1
 
     # "bin" only groups by tile (encounter order within a tile) -> the
-    # register-cached kernel's monotone-block invariant doesn't hold; it
-    # must use the order-independent RMW body.
-    use_rmw = order == "bin" or body == "rmw"
+    # register-cached/chains kernels' monotone-block invariant doesn't
+    # hold; it must use the order-independent RMW body.
+    if order == "bin":
+        body = "rmw"
+    extra = {"rmw": [pltpu.VMEM((c_blocks, _SUB, _LANES), jnp.float32)],
+             "regcache": [],
+             "chains": [pltpu.VMEM((c_blocks, _SUB, _LANES), jnp.float32)] * 2,
+             }[body]
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
         grid=(bsz, n_tiles),
@@ -541,11 +695,11 @@ def scatter_top_fused_batched(flat: jnp.ndarray, hval: jnp.ndarray,
         scratch_shapes=[pltpu.SMEM((_MAX_W,), jnp.int32),
                         pltpu.SMEM((_MAX_W,), jnp.float32),
                         pltpu.SMEM((_MAX_W,), jnp.float32)]
-        + ([pltpu.VMEM((c_blocks, _SUB, _LANES), jnp.float32)]
-           if use_rmw else [])
+        + extra
         + [pltpu.SemaphoreType.DMA((3,))],
     )
-    kernel_body = _fused_kernel_grouped if use_rmw else _fused_kernel
+    kernel_body = {"rmw": _fused_kernel_grouped, "regcache": _fused_kernel,
+                   "chains": _fused_kernel_chains}[body]
     kernel = functools.partial(kernel_body, ct=_CT, zn=int(zn),
                                n_chunks=int(n_chunks), max_w=_MAX_W,
                                n_stride=int(n_stride))
@@ -569,8 +723,14 @@ def scatter_top_fused_batched(flat: jnp.ndarray, hval: jnp.ndarray,
             inten.reshape(bsz, -1)[:, :n_cells])
 
 
-_SC_T = 1024          # supercells per lane-padded tile: 131072 flat slots
-                      # = 512 KB f32 VMEM (heights), 4096 cells = 4 blocks
+import os as _os
+
+_SC_T = int(_os.environ.get("MV3D_SC_T", "4096"))
+                      # supercells per lane-padded tile: 524288 flat slots
+                      # = 2 MB f32 VMEM (heights), 16384 cells = 16 blocks.
+                      # Fewer grid programs beat the bigger zero-init:
+                      # measured r3 e2e 166.6 fps @1024 -> 168.1 @4096.
+                      # Env-overridable for tile-size experiments.
 
 
 def scatter_top_padded_batched(flat: jnp.ndarray, hval: jnp.ndarray,
@@ -644,11 +804,14 @@ def scatter_top_padded_batched(flat: jnp.ndarray, hval: jnp.ndarray,
         scratch_shapes=[pltpu.SMEM((_MAX_W,), jnp.int32),
                         pltpu.SMEM((_MAX_W,), jnp.float32),
                         pltpu.SMEM((_MAX_W,), jnp.float32)]
-        + ([pltpu.VMEM((c_blocks, _SUB, _LANES), jnp.float32)]
-           if body == "rmw" else [])
+        + {"rmw": [pltpu.VMEM((c_blocks, _SUB, _LANES), jnp.float32)],
+           "regcache": [],
+           "chains": [pltpu.VMEM((c_blocks, _SUB, _LANES),
+                                 jnp.float32)] * 2}[body]
         + [pltpu.SemaphoreType.DMA((3,))],
     )
-    kernel_body = _fused_kernel_grouped if body == "rmw" else _fused_kernel
+    kernel_body = {"rmw": _fused_kernel_grouped, "regcache": _fused_kernel,
+                   "chains": _fused_kernel_chains}[body]
     kernel = functools.partial(kernel_body, ct=_SC_T, zn=int(zn),
                                n_chunks=int(n_chunks), max_w=_MAX_W,
                                n_stride=int(n_stride), lane_pad=True)

@@ -239,7 +239,7 @@ def test_pallas_fused_kernel_parity(rng):
     padded, _ = voxelize.pad_points(pts, 8192)
 
     want = voxelize_ref.lidar_to_top_np(pts, SMALL)
-    for body in ("rmw", "regcache"):
+    for body in ("rmw", "regcache", "chains"):
         fcfg = dataclasses.replace(SMALL, pipeline=dataclasses.replace(
             SMALL.pipeline, use_pallas_fused=True, sweep_kernel=body))
         got = np.asarray(voxelize.lidar_to_top(padded, fcfg))
@@ -309,7 +309,7 @@ def test_s2d2p_view_layout_is_lane_padded_fold(rng):
     t = SMALL.top
     w2p = voxelize.folded_pad_width(t.yn)
     want_h, want_aux = voxelize.fold_view_s2d2p(top_h)
-    for body in ("rmw", "regcache"):
+    for body in ("rmw", "regcache", "chains"):
         padc = dataclasses.replace(SMALL, pipeline=dataclasses.replace(
             SMALL.pipeline, use_pallas_fused=True, view_layout="s2d2p",
             sweep_kernel=body))
