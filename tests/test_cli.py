@@ -49,6 +49,7 @@ def test_raw_dataset(raw_drive):
     assert f.gt_labels.tolist() == [1]
 
 
+@pytest.mark.slow   # >50s: quick tier targets <5 min on one core
 def test_pred_and_save_pipeline(raw_drive, tmp_path):
     ds = KittiRawDataset(raw_drive, "2011_09_26", "0005", CFG)
     m = MV3D(cfg=CFG, log_tag="cli", checkpoint_dir=str(tmp_path / "ckpt"),

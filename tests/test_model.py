@@ -81,6 +81,7 @@ def test_inference_shapes(model_and_vars, rng):
     assert np.isfinite(np.asarray(dets.boxes3d)).all()
 
 
+@pytest.mark.slow   # >50s: quick tier targets <5 min on one core
 def test_train_forward_and_grads(model_and_vars, rng):
     model, variables = model_and_vars
     batch = make_batch(rng)
@@ -133,6 +134,7 @@ def test_staged_loss_mix():
     assert float(total_loss(ld, ["fusion"], CFG)) == 7.0
 
 
+@pytest.mark.slow   # >50s: quick tier targets <5 min on one core
 def test_batch_two_frames(model_and_vars, rng):
     model, variables = model_and_vars
     batch = make_batch(rng, b=2)

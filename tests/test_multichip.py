@@ -19,11 +19,13 @@ def test_mesh_shapes():
     assert mesh2.devices.shape == (4, 2)
 
 
+@pytest.mark.slow   # >50s: quick tier targets <5 min on one core
 def test_dryrun_multichip_8():
     import __graft_entry__ as ge
     ge.dryrun_multichip(8)
 
 
+@pytest.mark.slow   # >50s: quick tier targets <5 min on one core
 def test_dryrun_multichip_2():
     import __graft_entry__ as ge
     ge.dryrun_multichip(2)

@@ -34,6 +34,7 @@ def dataset():
     return FixedDataset(make_batch(rng))
 
 
+@pytest.mark.slow   # >50s: quick tier targets <5 min on one core
 def test_rpn_training_reduces_loss(tmp_path, dataset):
     tr = Trainer(dataset, train_targets=[TOP_VIEW_RPN], cfg=CFG,
                  log_tag="t1", checkpoint_dir=str(tmp_path / "ckpt"),
