@@ -32,11 +32,12 @@ from ..config import Config, cfg as _default_cfg
 _MAX_W = 2048         # sorted-point window DMA'd into SMEM per chunk
                       # (scalar dynamic loads are an SMEM operation on TPU)
 import os as _os0
-_UNROLL = int(_os0.environ.get("MV3D_UNROLL", "4"))
+_UNROLL = int(_os0.environ.get("MV3D_UNROLL", "8"))
                       # branch-free unroll of the RMW point loop (masked
                       # identity updates for the tail): the Mosaic loop
-                      # backedge costs ~tens of ns/iteration — unroll 4
-                      # measured 168.1 -> 187.2 fps e2e (round 3)
+                      # backedge costs ~tens of ns/iteration — round-3 e2e
+                      # sweep: unroll 1/4/8/16 = 168.1/187.2/193.9/192.4 fps
+                      # (8 also the tightest run-to-run). Env-overridable.
 _TILE = 131072        # flat outputs per tile: (1024, 128) f32 = 512 KB VMEM
 _LANES = 128
 _SUB = 8              # f32 sublane tile
