@@ -362,17 +362,22 @@ class Trainer(MV3D):
             gt_boxes3d=np.asarray(batch["gt_boxes3d"][0])[gm],
             det_boxes3d=boxes3d, cfg=self.cfg)
 
-    def validation_iou(self, batch: Dict[str, np.ndarray]) -> float:
+    def validation_iou(self, batch: Dict[str, np.ndarray],
+                       score_threshold: Optional[float] = None) -> float:
         """Online detection-quality signal: run inference on a validation
         batch and score predictions vs gt with the yaw-aware 3D IoU.
 
         Parity: the reference computes ``boxes3d_score_iou`` against gt on
         its validation interleave and logs it (mv3d.py:945-954 via
-        boxes3d.py:517-541). Frames without positive gt are skipped; returns
-        the mean over the batch (0.0 if no scorable frame).
+        boxes3d.py:517-541); like its ``log_prediction`` the score gate is a
+        parameter defaulting to the config's 0.75 (mv3d.py:940). Frames
+        without positive gt are skipped; returns the mean over the batch
+        (0.0 if no scorable frame).
         """
         from ..ops.boxes3d import boxes3d_score_iou
-        thresh = jnp.float32(self.cfg.rcnn.score_threshold)
+        if score_threshold is None:
+            score_threshold = self.cfg.rcnn.score_threshold
+        thresh = jnp.float32(score_threshold)
         if "points" in batch and "top" not in batch:
             pts = jnp.asarray(batch["points"])
             num = batch.get("num_points")
