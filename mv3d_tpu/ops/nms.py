@@ -20,8 +20,6 @@ from typing import Tuple
 import jax
 import jax.numpy as jnp
 
-from .boxes import bbox_overlaps
-
 NEG_INF = -1e30
 
 
@@ -43,7 +41,21 @@ def greedy_nms(boxes: jnp.ndarray, scores: jnp.ndarray, valid: jnp.ndarray,
       keep_mask: (max_out,) bool — which output slots hold real detections.
     """
     k = boxes.shape[0]
-    iou = bbox_overlaps(boxes, boxes)                     # (K, K)
+    # Division-free pairwise suppression matrix: iou > t  <=>
+    # inter * (1 + t) > t * (area_i + area_j)  (union = a_i + a_j - inter
+    # >= 1 in the +1 pixel convention, so the rearrangement is sign-safe).
+    # Same suppression rule as cpu_nms.pyx:45-63 without the per-pair f32
+    # divide — the (K, K) divide was the hottest NMS op on the TPU trace
+    # (154 us/frame at K=1000), and the bool matrix moves 1/4 the bytes.
+    x1, y1, x2, y2 = boxes[:, 0], boxes[:, 1], boxes[:, 2], boxes[:, 3]
+    area = (x2 - x1 + 1.0) * (y2 - y1 + 1.0)
+    iw = (jnp.minimum(x2[:, None], x2[None, :])
+          - jnp.maximum(x1[:, None], x1[None, :]) + 1.0)
+    ih = (jnp.minimum(y2[:, None], y2[None, :])
+          - jnp.maximum(y1[:, None], y1[None, :]) + 1.0)
+    inter = jnp.clip(iw, 0.0) * jnp.clip(ih, 0.0)
+    t = jnp.float32(iou_threshold)
+    suppress_mat = inter * (1.0 + t) > t * (area[:, None] + area[None, :])
     live_scores = jnp.where(valid, scores, NEG_INF)
 
     def body(_, state):
@@ -53,8 +65,7 @@ def greedy_nms(boxes: jnp.ndarray, scores: jnp.ndarray, valid: jnp.ndarray,
         keep_idx = keep_idx.at[slot].set(jnp.int32(best))
         keep_mask = keep_mask.at[slot].set(ok)
         # suppress the pick itself and everything overlapping it
-        suppress = (iou[best] > iou_threshold) | (
-            jnp.arange(k) == best)
+        suppress = suppress_mat[best] | (jnp.arange(k) == best)
         live = jnp.where(ok & suppress, NEG_INF, live)
         return live, keep_idx, keep_mask, slot + 1
 
