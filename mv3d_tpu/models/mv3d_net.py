@@ -188,27 +188,28 @@ class MV3DNet:
         zn = tc - 2
         if occ is None and isinstance(top_view_frame, (tuple, list)):
             # lane-padded "s2d2p" pair: per-sub-cell lane-group sums of the
-            # heights plane + the aux plane, unfolded and cropped to yn
+            # heights plane + the aux plane — FOLDED (h2, w2p, 4), consumed
+            # directly by the folded window filter (no unfold pass)
             heights, aux = top_view_frame
             hv = heights.astype(jnp.float32)
             av = aux.astype(jnp.float32)
-            w2p = hv.shape[1]
             h4 = jnp.stack([jnp.sum(hv[..., s * zn:(s + 1) * zn], axis=-1)
                             for s in range(4)], axis=-1)
-            occ4 = h4 + av[..., :4] + av[..., 4:]
-            occ = (occ4.reshape(xn // 2, w2p, 2, 2)
-                   .transpose(0, 2, 1, 3).reshape(xn, 2 * w2p)[:, :yn])
+            occ = h4 + av[..., :4] + av[..., 4:]
         elif occ is None and top_view_frame.shape[:2] == (xn // 2, yn // 2):
             # folded view: channels are [(dy,dx,s) x 4*zn, int x4, den x4];
-            # per-(dy,dx) channel sums unfold to the per-cell occupancy
+            # per-(dy,dx) channel sums ARE the folded occupancy
             v = top_view_frame.astype(jnp.float32)
             h4 = jnp.sum(v[..., :4 * zn].reshape(xn // 2, yn // 2, 4, zn),
                          axis=-1)
-            occ4 = h4 + v[..., 4 * zn:4 * zn + 4] + v[..., 4 * zn + 4:]
-            occ = (occ4.reshape(xn // 2, yn // 2, 2, 2)
-                   .transpose(0, 2, 1, 3).reshape(xn, yn))
+            occ = h4 + v[..., 4 * zn:4 * zn + 4] + v[..., 4 * zn + 4:]
+        # rank-3 occ = folded (h2, w2p, 4); the structured filter dispatches
+        # to the parity-decomposed window sums. The first argument only
+        # carries the full-res (xn, yn) dims in that case.
         return non_empty_anchor_mask_structured(
-            top_view_frame if occ is None else occ[..., None],
+            top_view_frame if occ is None else
+            (occ[..., None] if occ.ndim == 2
+             else jax.ShapeDtypeStruct((xn, yn), jnp.float32)),
             self._bases_np, cfg.model.rpn_stride,
             self._feat_shape, cfg.pipeline.remove_empty_thresh,
             occ=occ)

@@ -56,6 +56,11 @@ def greedy_nms(boxes: jnp.ndarray, scores: jnp.ndarray, valid: jnp.ndarray,
     inter = jnp.clip(iw, 0.0) * jnp.clip(ih, 0.0)
     t = jnp.float32(iou_threshold)
     suppress_mat = inter * (1.0 + t) > t * (area[:, None] + area[None, :])
+    # materialize the bool matrix ONCE: without the barrier XLA sinks the
+    # row computation into the loop and recomputes it every iteration
+    # (traced at 120 us/frame of per-iteration multiply_compare fusions vs
+    # ~25 us to write the (K, K) bool matrix up front)
+    suppress_mat = jax.lax.optimization_barrier(suppress_mat)
     live_scores = jnp.where(valid, scores, NEG_INF)
 
     def body(_, state):

@@ -169,6 +169,17 @@ def fold_view_s2d2p(view: jnp.ndarray):
     return heights, aux
 
 
+def unfold_occ4(occ4: jnp.ndarray, xn: int, yn: int) -> jnp.ndarray:
+    """Folded (..., h2, w2p, 4) occupancy (sub = u*2 + v for full-res cell
+    (2i+u, 2j+v)) -> full-res (..., xn, yn). The s2d2/s2d2p voxelizers
+    return the folded form (the anchor filter consumes it directly); this
+    is the relayout for tests and full-res consumers."""
+    *lead, h2, w2p, _ = occ4.shape
+    v = occ4.reshape(*lead, h2, w2p, 2, 2)
+    v = jnp.moveaxis(v, -2, -3)                 # (..., h2, 2, w2p, 2)
+    return v.reshape(*lead, xn, 2 * w2p)[..., :yn]
+
+
 def _occ_from_cells(heights2d, intensity, density, counts, cfg: Config):
     """Per-cell occupancy mass for the empty-anchor filter.
 
@@ -384,10 +395,18 @@ def lidar_to_top_batch(points: jnp.ndarray, cfg: Config = _default_cfg,
             _, _, flat, val, refl = jax.vmap(
                 lambda p, m: _top_prep(p, cfg, m, s2d="pad"))(points,
                                                               num_points)
+        view_dtype = jnp.dtype(cfg.pipeline.top_view_dtype)
+        # bf16 views: the kernel converts its f32 VMEM accumulator on
+        # writeback (one rounding after the full f32 max — the exact
+        # semantics the bf16 parity test pins down), killing the separate
+        # 137 us/frame XLA convert pass of the (B, n_sc/8, 8, 128) volume.
+        # The thresh != 0 occupancy sums f32 heights, so that (non-default)
+        # config keeps the f32 kernel output.
+        kdtype = (view_dtype if cfg.pipeline.remove_empty_thresh == 0.0
+                  and cfg.pipeline.sweep_kernel == "rmw" else jnp.float32)
         heights_b, counts, inten = scatter_top_padded_batched(
             flat, val, jnp.where(flat < n_sc * 128, refl, 0.0), n_sc, zn,
-            body=cfg.pipeline.sweep_kernel)
-        view_dtype = jnp.dtype(cfg.pipeline.top_view_dtype)
+            body=cfg.pipeline.sweep_kernel, heights_dtype=kdtype)
         heights = heights_b.reshape(bsz, h2, w2p, 128).astype(view_dtype)
         density = jnp.minimum(1.0, jnp.log(counts + 1.0) / math.log(32))
         aux_plane = jnp.concatenate(
@@ -404,9 +423,12 @@ def lidar_to_top_batch(points: jnp.ndarray, cfg: Config = _default_cfg,
                             for s in range(4)], axis=-1)
             occ4 = (h4 + inten.reshape(bsz, h2, w2p, 4)
                     + density.reshape(bsz, h2, w2p, 4))
-        occ = (occ4.reshape(bsz, h2, w2p, 2, 2)
-               .transpose(0, 1, 3, 2, 4).reshape(bsz, xn, 2 * w2p)[:, :, :yn])
-        return top, occ
+        # FOLDED occupancy (B, h2, w2p, 4), sub = u*2 + v for full-res cell
+        # (2i+u, 2j+v): the anchor filter consumes this layout directly
+        # (ops/anchors._non_empty_anchor_mask_folded) — the unfold to
+        # (B, xn, yn) was a traced ~94 us/frame transpose+slice with no
+        # consumer left. Use :func:`unfold_occ4` where full-res is needed.
+        return top, occ4
     if aux is None and cfg.pipeline.use_pallas_fused:
         # native-batch kernel path: vmap of a scalar-prefetch pallas_call
         # degrades to a sequential while loop with per-frame output assembly
@@ -443,9 +465,8 @@ def lidar_to_top_batch(points: jnp.ndarray, cfg: Config = _default_cfg,
             if return_occ:
                 occ = _occ_from_cells(heights.reshape(bsz, n_cells, zn),
                                       intensity, density, counts, cfg)
-                occ = (occ.reshape(bsz, h2, w2, 2, 2)
-                       .transpose(0, 1, 3, 2, 4).reshape(bsz, xn, yn))
-                return top, occ
+                # folded (B, h2, w2, 4) form, like the s2d2p branch
+                return top, occ.reshape(bsz, h2, w2, 4)
             return top
         heights2d = heights.reshape(bsz, n_cells, zn)
         top = jnp.concatenate(

@@ -221,7 +221,8 @@ def _fused_kernel_grouped(starts_ref, flat_ref, hval_ref, refl_ref,
                           hout_ref, cout_ref, rout_ref,
                           sflat, shval, srefl, zbest, sems,
                           *, ct: int, zn: int, n_chunks: int, max_w: int,
-                          n_stride: int, lane_pad: bool = False):
+                          n_stride: int, lane_pad: bool = False,
+                          hacc=None):
     """Per-point VMEM-RMW sweep body (the round-2 kernel) — order-independent
     within a tile, so it is the only valid body for the ``voxel_order="bin"``
     grouping (which only buckets points by tile, keeping encounter order),
@@ -236,7 +237,14 @@ def _fused_kernel_grouped(starts_ref, flat_ref, hval_ref, refl_ref,
     end = starts_ref[b, t + 1]
     frame_base = pl.multiple_of(b * n_stride, max_w)
 
-    hout_ref[:] = jnp.zeros_like(hout_ref)
+    # bf16 output: accumulate heights in an f32 VMEM scratch and convert
+    # once per tile at the end — per-point bf16 RMWs are impossible (the
+    # round-2 in-kernel bf16 store died on the (8,128) i1 mask -> (16,128)
+    # bf16 relayout), while max-then-round-once is EXACTLY the documented
+    # bf16 view semantics (monotone rounding commutes with max; the XLA
+    # convert pass this replaces traced at 137 us/frame)
+    hdst = hout_ref if hacc is None else hacc
+    hdst[:] = jnp.zeros_like(hdst)
     cout_ref[:] = jnp.zeros_like(cout_ref)
     rout_ref[:] = jnp.zeros_like(rout_ref)
     zbest[:] = jnp.full_like(zbest, -1.0)
@@ -271,9 +279,11 @@ def _fused_kernel_grouped(starts_ref, flat_ref, hval_ref, refl_ref,
             v = jnp.where(valid, shval[ir], 0.0)
             blk = f // (_SUB * _LANES)
             off = f - blk * (_SUB * _LANES)
-            hout_ref[0, blk] = jnp.maximum(
-                hout_ref[0, blk],
-                jnp.where(valid & (lin_ids == off), v, 0.0))
+            hupd = jnp.where(valid & (lin_ids == off), v, 0.0)
+            if hacc is None:
+                hout_ref[0, blk] = jnp.maximum(hout_ref[0, blk], hupd)
+            else:
+                hacc[blk] = jnp.maximum(hacc[blk], hupd)
 
             if lane_pad:
                 sc = f // _LANES                  # local supercell
@@ -315,6 +325,8 @@ def _fused_kernel_grouped(starts_ref, flat_ref, hval_ref, refl_ref,
     n_active = jnp.clip((end - start_aligned + max_w - 1) // max_w,
                         0, n_chunks)
     jax.lax.fori_loop(0, n_active, chunk_body, 0)
+    if hacc is not None:
+        hout_ref[0] = hacc[:].astype(hout_ref.dtype)
 
 
 def _fused_kernel_chains(starts_ref, flat_ref, hval_ref, refl_ref,
@@ -749,18 +761,36 @@ def scatter_top_fused_batched(flat: jnp.ndarray, hval: jnp.ndarray,
 
 import os as _os
 
-_SC_T = int(_os.environ.get("MV3D_SC_T", "4096"))
-                      # supercells per lane-padded tile: 524288 flat slots
-                      # = 2 MB f32 VMEM (heights), 16384 cells = 16 blocks.
-                      # Fewer grid programs beat the bigger zero-init:
-                      # measured r3 e2e 166.6 fps @1024 -> 168.1 @4096.
+_SC_T = int(_os.environ.get("MV3D_SC_T", "0"))
+                      # supercells per lane-padded tile (0 = auto). Big tiles
+                      # win (fewer grid programs beat the bigger zero-init:
+                      # measured r3 e2e 166.6 fps @1024 -> 168.1 @4096).
                       # Env-overridable for tile-size experiments.
+_SC_T_CAP = 8192      # auto-selection cap: heights block <= 4 MB f32 VMEM
+
+
+def _pick_sc_tile(n_sc: int) -> int:
+    """Supercells per tile: largest multiple of 256 (so the count/intensity
+    planes tile into whole (8, 128) blocks) under the cap that divides
+    ``n_sc`` EXACTLY — then the kernel's padded output IS the valid output
+    and the caller's crop slice is a no-op (the 4096-with-padding scheme
+    cost a traced 140 us/frame full copy of the (B, n_sc/8, 8, 128) bf16
+    heights just to drop the 1% tile padding; KITTI s2d2p n_sc = 400*304 =
+    121600 = 25 * 4864). Falls back to padded 4096 tiles when no such
+    divisor exists."""
+    if _SC_T:
+        return _SC_T
+    for k in range(_SC_T_CAP - _SC_T_CAP % 256, 0, -256):
+        if n_sc % k == 0:
+            return k
+    return 4096
 
 
 def scatter_top_padded_batched(flat: jnp.ndarray, hval: jnp.ndarray,
                                refl: jnp.ndarray, n_sc: int, zn: int,
                                interpret: Optional[bool] = None,
-                               body: str = "rmw"
+                               body: str = "rmw",
+                               heights_dtype=jnp.float32
                                ) -> Tuple[jnp.ndarray, jnp.ndarray,
                                           jnp.ndarray]:
     """Lane-padded batched sorted sweep (``view_layout="s2d2p"``).
@@ -784,20 +814,24 @@ def scatter_top_padded_batched(flat: jnp.ndarray, hval: jnp.ndarray,
         interpret = jax.default_backend() == "cpu"
     assert 4 * zn <= _LANES, (zn,)
     assert n_sc % _SUB == 0, (n_sc,)
+    heights_bf16 = jnp.dtype(heights_dtype) != jnp.float32
+    assert not (heights_bf16 and body != "rmw"), \
+        "in-kernel bf16 heights: rmw body only"
 
     n_flat = n_sc * _LANES
-    n_sc_pad = -(-n_sc // _SC_T) * _SC_T
-    n_tiles = n_sc_pad // _SC_T
+    sc_t = _pick_sc_tile(n_sc)
+    n_sc_pad = -(-n_sc // sc_t) * sc_t
+    n_tiles = n_sc_pad // sc_t
     n_flat_pad = n_sc_pad * _LANES
     blk = _SUB * _LANES
-    h_blocks = (_SC_T * _LANES) // blk
-    c_blocks = (_SC_T * 4) // blk
+    h_blocks = (sc_t * _LANES) // blk
+    c_blocks = (sc_t * 4) // blk
 
     flat = jnp.where(flat >= n_flat, n_flat_pad, flat.astype(jnp.int32))
     sflat, shval, srefl = jax.lax.sort(
         (flat, hval.astype(jnp.float32), refl.astype(jnp.float32)),
         num_keys=1)
-    bounds = jnp.arange(n_tiles + 1, dtype=jnp.int32) * (_SC_T * _LANES)
+    bounds = jnp.arange(n_tiles + 1, dtype=jnp.int32) * (sc_t * _LANES)
     starts = jax.vmap(
         lambda row: jnp.searchsorted(row, bounds))(sflat[:, :n])
     starts = starts.astype(jnp.int32)
@@ -832,19 +866,29 @@ def scatter_top_padded_batched(flat: jnp.ndarray, hval: jnp.ndarray,
            "regcache": [],
            "chains": [pltpu.VMEM((c_blocks, _SUB, _LANES),
                                  jnp.float32)] * 2}[body]
+        + ([pltpu.VMEM((h_blocks, _SUB, _LANES), jnp.float32)]
+           if heights_bf16 else [])
         + [pltpu.SemaphoreType.DMA((3,))],
     )
     kernel_body = {"rmw": _fused_kernel_grouped, "regcache": _fused_kernel,
                    "chains": _fused_kernel_chains}[body]
-    kernel = functools.partial(kernel_body, ct=_SC_T, zn=int(zn),
+    kernel = functools.partial(kernel_body, ct=sc_t, zn=int(zn),
                                n_chunks=int(n_chunks), max_w=_MAX_W,
                                n_stride=int(n_stride), lane_pad=True)
+    if heights_bf16:
+        base_kernel = kernel
+
+        def kernel(starts_ref, f_ref, h_ref, r_ref, ho, co, ro,
+                   sf, sh, sr, zb, ha, sem):
+            base_kernel(starts_ref, f_ref, h_ref, r_ref, ho, co, ro,
+                        sf, sh, sr, zb, sem, hacc=ha)
+
     heights, count, inten = pl.pallas_call(
         kernel,
         grid_spec=grid_spec,
         out_shape=[
             jax.ShapeDtypeStruct((bsz, n_tiles * h_blocks, _SUB, _LANES),
-                                 jnp.float32),
+                                 jnp.dtype(heights_dtype)),
             jax.ShapeDtypeStruct((bsz, n_tiles * c_blocks, _SUB, _LANES),
                                  jnp.float32),
             jax.ShapeDtypeStruct((bsz, n_tiles * c_blocks, _SUB, _LANES),

@@ -321,8 +321,42 @@ def test_s2d2p_view_layout_is_lane_padded_fold(rng):
                                       np.asarray(want_h), err_msg=body)
         np.testing.assert_array_equal(np.asarray(aux), np.asarray(want_aux),
                                       err_msg=body)
-        np.testing.assert_array_equal(np.asarray(occ_h), np.asarray(occ_p),
-                                      err_msg=body)
+        # folded layouts return the (B, h2, w2p, 4) occupancy directly
+        # (the anchor filter consumes it without an unfold pass)
+        assert occ_p.shape == (2, t.xn // 2, w2p, 4)
+        np.testing.assert_array_equal(
+            np.asarray(occ_h),
+            np.asarray(voxelize.unfold_occ4(occ_p, t.xn, t.yn)),
+            err_msg=body)
+
+
+def test_s2d2p_bf16_in_kernel_writeback(rng):
+    """s2d2p + bfloat16: the kernel accumulates heights in an f32 VMEM
+    scratch and converts ONCE on writeback — output must equal the f32
+    kernel's heights rounded once (monotone rounding commutes with max),
+    with identical aux plane and occupancy."""
+    import jax.numpy as jnp
+
+    pts = make_cloud(rng, 3000, SMALL)
+    padded, _ = voxelize.pad_points(pts, 8192)
+    batch = np.stack([padded, padded])
+    f32c = dataclasses.replace(SMALL, pipeline=dataclasses.replace(
+        SMALL.pipeline, use_pallas_fused=True, view_layout="s2d2p"))
+    bfc = dataclasses.replace(SMALL, pipeline=dataclasses.replace(
+        SMALL.pipeline, use_pallas_fused=True, view_layout="s2d2p",
+        top_view_dtype="bfloat16"))
+    (h32, a32), occ32 = voxelize.lidar_to_top_batch(batch, f32c,
+                                                    return_occ=True)
+    (h16, a16), occ16 = voxelize.lidar_to_top_batch(batch, bfc,
+                                                    return_occ=True)
+    assert h16.dtype == jnp.bfloat16
+    np.testing.assert_array_equal(
+        np.asarray(h32.astype(jnp.bfloat16).astype(jnp.float32)),
+        np.asarray(h16.astype(jnp.float32)))
+    np.testing.assert_array_equal(
+        np.asarray(a32.astype(jnp.bfloat16).astype(jnp.float32)),
+        np.asarray(a16.astype(jnp.float32)))
+    np.testing.assert_array_equal(np.asarray(occ32), np.asarray(occ16))
 
 
 def test_bf16_view_dtype_is_rounded_f32(rng):
@@ -364,4 +398,7 @@ def test_s2d2_view_layout_is_folded_hwc(rng):
     assert top_f.shape == (2, t.xn // 2, t.yn // 2, (t.zn + 2) * 4)
     np.testing.assert_array_equal(
         np.asarray(voxelize.fold_view_s2d2(top_h)), np.asarray(top_f))
-    np.testing.assert_array_equal(np.asarray(occ_h), np.asarray(occ_f))
+    assert occ_f.shape == (2, t.xn // 2, t.yn // 2, 4)   # folded occupancy
+    np.testing.assert_array_equal(
+        np.asarray(occ_h),
+        np.asarray(voxelize.unfold_occ4(occ_f, t.xn, t.yn)))
