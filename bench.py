@@ -35,11 +35,11 @@ import time
 
 import numpy as np
 
-# serving batch: measured batch-16 knee on v5e (throughput within 3% of
-# batch 32 at half the latency; round-2 curve 8/16/32 = 143.4/150.6/154.5
-# on the old s2d2 layout). Round-3 serving config (s2d2p + rmw sweep +
-# 4096-supercell tiles): 168.1 fps at batch 16.
-BATCH = int(os.environ.get("BENCH_BATCH", "16"))
+# serving batch: measured batch-32 knee on v5e — late-round-3 curve
+# 16/32/64 = 203.9/213.0/210.6 fps (as the per-frame tail shrank, the
+# fixed per-step dispatch amortizes further; b64 regresses on HBM
+# pressure). Earlier knees for the record: b16 at 150.6-195.6 fps configs.
+BATCH = int(os.environ.get("BENCH_BATCH", "32"))
 N_WARM = 2
 N_MEAS = 12
 N_DISTINCT = 6
