@@ -20,6 +20,12 @@ feed each process its local shard via
 is executed for real (2 OS processes, 8-device global mesh, Gloo collectives)
 in ``tests/test_distributed.py``; sharded checkpointing for it is the orbax
 backend of ``train/checkpoint.py``.
+
+Multi-slice (past one ICI domain): :func:`make_hybrid_mesh` adds a ``dcn``
+axis; the batch shards over both data-like axes and XLA's gradient reduction
+becomes hierarchical (ICI within a slice, one hop across the slow DCN links).
+Inference fan-out has no cross-device communication at all. Exercised on the
+virtual backend by ``tests/test_multichip.py::test_hybrid_dcn_mesh_*``.
 """
 
 from __future__ import annotations
@@ -44,6 +50,40 @@ def make_mesh(n_devices: Optional[int] = None, model_axis: int = 1,
     return Mesh(arr, ("data", "model"))
 
 
+def make_hybrid_mesh(n_slices: int, devices_per_slice: Optional[int] = None,
+                     devices: Optional[Sequence] = None) -> Mesh:
+    """("dcn", "data", "model") mesh for multi-slice (DCN) deployments.
+
+    Scaling past one ICI domain is still pure data parallelism for this
+    model: the batch shards over BOTH the ``dcn`` and ``data`` axes
+    (``P(("dcn", "data"))``), parameters stay replicated, and the training
+    gradient reduction XLA inserts is hierarchical — reduce within each
+    slice over ICI first, then once across slices over the slow DCN links
+    (the standard multi-slice recipe; inference has no cross-device
+    communication at all, so serving fan-out scales linearly).
+
+    On real multi-slice hardware pass ``devices`` from
+    ``jax.experimental.mesh_utils.create_hybrid_device_mesh(
+    (devices_per_slice,), (n_slices,))`` so the ``dcn`` axis maps onto the
+    actual slice boundaries; on a single slice or the CPU test backend the
+    plain reshape below is equivalent.
+    """
+    devices = list(devices if devices is not None else jax.devices())
+    if devices_per_slice is None:
+        assert len(devices) % n_slices == 0, (len(devices), n_slices)
+        devices_per_slice = len(devices) // n_slices
+    arr = np.array(devices[:n_slices * devices_per_slice]).reshape(
+        n_slices, devices_per_slice, 1)
+    return Mesh(arr, ("dcn", "data", "model"))
+
+
+def _batch_spec(mesh: Mesh) -> P:
+    """Batch partition spec: shard the leading axis over every data-like
+    mesh axis ("dcn" and "data" when present)."""
+    axes = tuple(a for a in mesh.axis_names if a in ("dcn", "data"))
+    return P(axes)
+
+
 def replicate(tree, mesh: Mesh):
     """Replicate a pytree (parameters/optimizer state) across the mesh."""
     s = NamedSharding(mesh, P())
@@ -52,7 +92,7 @@ def replicate(tree, mesh: Mesh):
 
 def shard_batch(batch: Dict[str, Any], mesh: Mesh):
     """Shard every batch array along its leading (batch) axis."""
-    s = NamedSharding(mesh, P("data"))
+    s = NamedSharding(mesh, _batch_spec(mesh))
     return {k: (jax.device_put(v, s) if hasattr(v, "shape") else v)
             for k, v in batch.items()}
 
@@ -72,7 +112,7 @@ def make_sharded_train_step(model, optimizer, train_targets, mesh: Mesh,
 
     cfg = cfg or model.cfg
     repl = NamedSharding(mesh, P())
-    data_sharded = NamedSharding(mesh, P("data"))
+    data_sharded = NamedSharding(mesh, _batch_spec(mesh))
 
     def step(variables, opt_state, batch, key):
         params = {n: variables[n]["params"] for n in SUBNET_NAMES}
@@ -126,7 +166,7 @@ def make_sharded_infer_step(model, mesh: Mesh, score_threshold: float = 0.05):
     from ..ops.voxelize import lidar_to_front_batch, lidar_to_top_batch
 
     repl = NamedSharding(mesh, P())
-    data_sharded = NamedSharding(mesh, P("data"))
+    data_sharded = NamedSharding(mesh, _batch_spec(mesh))
     cfg = model.cfg
 
     def infer(variables, points, rgb):
