@@ -255,6 +255,60 @@ def main():
             f"{fps_q:.1f} frames/sec ({fps_q/fps_s:.2f}x the f32 stream "
             f"on this link)")
 
+        try:
+            # ---- BEV-only streaming (BASELINE target row "BEV-only RPN
+            # proposals + NMS, streaming on TPU"): cfg.USE_TOP_ONLY parity —
+            # no camera image crosses the link at all, so a thin serving link
+            # carries only the 7-byte quantized points
+            tcfg = dataclasses.replace(qcfg, model=dataclasses.replace(
+                qcfg.model, use_top_only=True, use_siamese_fusion=False))
+            tmodel = MV3DNet(tcfg)
+            tvars = jax.jit(tmodel.init_variables)(jax.random.PRNGKey(0))
+            zrgb = jax.device_put(jnp.zeros((BATCH, *cfg.rgb_shape),
+                                            jnp.float32))
+            zfront = jax.device_put(jnp.zeros((BATCH, *cfg.front_shape),
+                                              jnp.float32))
+
+            def top_only_stream(variables, points_q, refl_q, num_points):
+                pts = dequantize_points(points_q, refl_q, tcfg)
+                top, occ = voxelize.lidar_to_top_batch(pts, tcfg, num_points,
+                                                       return_occ=True)
+                dets, _ = tmodel.forward_inference(variables, top, zrgb, zfront,
+                                                   score_threshold=0.05,
+                                                   top_occ=occ)
+                return dets.boxes3d, dets.probs, dets.mask
+
+            ft = jax.jit(top_only_stream)
+
+            def stream_t(n_steps, loader):
+                outs = []
+                for _ in range(n_steps):
+                    b = loader.load()
+                    outs.append(ft(tvars,
+                                   jax.device_put(jnp.asarray(b["points_q"])),
+                                   jax.device_put(jnp.asarray(b["refl_q"])),
+                                   jax.device_put(jnp.asarray(
+                                       b["num_points"]))))
+                    if len(outs) > 4:
+                        outs.pop(0)
+                jax.block_until_ready(outs)
+
+            tstep_bytes = BATCH * (n_pts * 7 + 4)
+            with BatchLoader(ds, tcfg, batch_size=BATCH, prefetch=4,
+                             seed=3) as loader:
+                stream_t(2, loader)
+                stream_t(N_DISTINCT, loader)
+                t0 = time.time()
+                stream_t(N_MEAS, loader)
+                dt_to = (time.time() - t0) / N_MEAS
+            fps_to = BATCH / dt_to
+            log(f"e2e streaming TOP-ONLY quantized (use_top_only=True, "
+                f"{tstep_bytes/1e6:.1f} MB/step — points only, no rgb): "
+                f"{dt_to*1000:.2f} ms/step ({dt_to/BATCH*1000:.2f} ms/frame) = "
+                f"{fps_to:.1f} frames/sec")
+        except Exception as e:  # never lose the official JSON line to a supplementary section
+            log(f"top-only streaming section failed: {e!r}")
+
     # ---- supplementary: full train-step throughput (BENCH_TRAIN=1) ---------
     # The reference's only training-speed hook is a wall-clock "sec / 1000
     # iters" log line (mv3d.py:1091-1093, 1 GPU, batch 1, ~6 host<->device
