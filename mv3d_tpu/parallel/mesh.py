@@ -146,8 +146,13 @@ def make_sharded_train_step(model, optimizer, train_targets, mesh: Mesh,
 
     def jit_for(batch_keys):
         in_shard = (repl, repl, {k: batch_spec[k] for k in batch_keys}, repl)
+        # donate variables/opt_state: the training loop owns them (every
+        # caller rebinds to the returned state), letting XLA alias the
+        # replicated param + Adam-moment buffers instead of copying them
+        # on every step on every device
         return jax.jit(step, in_shardings=in_shard,
-                       out_shardings=(repl, repl, repl))
+                       out_shardings=(repl, repl, repl),
+                       donate_argnums=(0, 1))
 
     # cache compiled steps per batch-structure
     cache = {}
