@@ -1,0 +1,118 @@
+"""AOT serving-artifact export (mv3d_tpu/serving): round-trip bit-exactness,
+single-frame convenience API, quantized signature, cross-platform lowering,
+and the CLI entry point. The reference has no serialized serving artifact —
+deployment re-runs the graph-building source (reference mv3d.py:666-691) —
+so this surface is beyond-reference; the tests pin its contract."""
+
+import json
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from test_model import CFG
+
+from mv3d_tpu.serving import build_serving_fn, export_serving, load_serving
+
+
+def _inputs(b=1, seed=0):
+    rng = np.random.RandomState(seed)
+    n = CFG.pipeline.max_points
+    pts = np.stack([rng.uniform(0, 16, (b, n)), rng.uniform(-6, 6, (b, n)),
+                    rng.uniform(-4, 0.8, (b, n)), rng.uniform(0, 1, (b, n))],
+                   axis=-1).astype(np.float32)
+    num = np.full((b,), n, np.int32)
+    rgb = rng.rand(b, *CFG.rgb_shape).astype(np.float32)
+    return pts, num, rgb
+
+
+@pytest.fixture(scope="module")
+def variables():
+    from mv3d_tpu.models import MV3DNet
+    model = MV3DNet(CFG)
+    return model.init_variables(jax.random.PRNGKey(0))
+
+
+def test_export_roundtrip_bitexact(variables, tmp_path):
+    """serialize -> deserialize -> run == direct jit run, bit for bit."""
+    out = export_serving(variables, CFG, str(tmp_path / "art"), batch_size=2,
+                         score_threshold=0.05)
+    served = load_serving(out)
+
+    pts, num, rgb = _inputs(b=2)
+    got_boxes, got_probs, got_mask = served(pts, num, rgb)
+
+    fn, _ = build_serving_fn(CFG, score_threshold=0.05)
+    want = jax.jit(fn)(variables, jnp.asarray(pts), jnp.asarray(num),
+                       jnp.asarray(rgb))
+    np.testing.assert_array_equal(got_boxes, np.asarray(want[0]))
+    np.testing.assert_array_equal(got_probs, np.asarray(want[1]))
+    np.testing.assert_array_equal(got_mask, np.asarray(want[2]))
+
+    meta = json.loads((tmp_path / "art" / "meta.json").read_text())
+    assert meta["batch_size"] == 2 and not meta["quantized"]
+    assert meta["input_names"] == ["points", "num_points", "rgb"]
+
+
+def test_export_predict_single_frame(variables, tmp_path):
+    """predict() pads a ragged cloud to the frozen bucket and filters by the
+    detection mask."""
+    out = export_serving(variables, CFG, str(tmp_path / "art1"), batch_size=1)
+    served = load_serving(out)
+    pts, _, rgb = _inputs(b=1, seed=1)
+    ragged = np.asarray(pts[0][: CFG.pipeline.max_points // 2])
+    boxes3d, probs = served.predict(ragged, rgb[0])
+    assert boxes3d.ndim == 3 and boxes3d.shape[1:] == (8, 3)
+    assert probs.shape == (boxes3d.shape[0],)
+    assert np.isfinite(boxes3d).all()
+
+
+def test_export_quantized_signature(variables, tmp_path):
+    """The quantized artifact consumes the uint16/uint8 transfer diet and
+    matches the in-process quantized pipeline bit-exactly."""
+    from mv3d_tpu.ops.quantize import quantize_points
+
+    out = export_serving(variables, CFG, str(tmp_path / "artq"), batch_size=1,
+                         quantized=True)
+    served = load_serving(out)
+    pts, num, rgb = _inputs(b=1, seed=2)
+    q, r = quantize_points(pts, CFG)
+    got = served(q, r, num, rgb)
+
+    fn, _ = build_serving_fn(CFG, quantized=True)
+    want = jax.jit(fn)(variables, jnp.asarray(q), jnp.asarray(r),
+                       jnp.asarray(num), jnp.asarray(rgb))
+    for g, w in zip(got, want):
+        np.testing.assert_array_equal(g, np.asarray(w))
+    with pytest.raises(NotImplementedError):
+        served.predict(pts[0], rgb[0])
+
+
+def test_export_cross_platform_lowering(variables, tmp_path):
+    """A CPU-only build host can emit a TPU+CPU artifact (cross-platform
+    lowering; nothing executes at export time) and the loaded artifact still
+    runs on the CPU branch."""
+    out = export_serving(variables, CFG, str(tmp_path / "artx"), batch_size=1,
+                         platforms=("tpu", "cpu"))
+    served = load_serving(out)
+    assert set(served.meta["platforms"]) == {"tpu", "cpu"}
+    pts, num, rgb = _inputs(b=1, seed=3)
+    boxes, probs, mask = served(pts, num, rgb)
+    assert np.isfinite(boxes).all() and mask.dtype == bool
+
+
+def test_cli_export_random_init(tmp_path):
+    """python -m mv3d_tpu.cli.export --random-init on the tiny config."""
+    from mv3d_tpu.cli.export import main
+
+    overrides = tmp_path / "tiny.json"
+    from test_cli_mains import TINY_OVERRIDES
+    overrides.write_text(json.dumps(TINY_OVERRIDES))
+    out = main(["--random-init", "--out", str(tmp_path / "cli_art"),
+                "--config", str(overrides),
+                "--checkpoint-dir", str(tmp_path / "ckpt")])
+    served = load_serving(out)
+    pts, num, rgb = _inputs(b=1, seed=4)
+    boxes, probs, mask = served(pts, num, rgb)
+    assert boxes.shape[0] == 1
