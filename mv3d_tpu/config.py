@@ -283,6 +283,16 @@ class TrainConfig:
     aug_flip_prob: float = 0.0         # P(mirror y -> -y)
     aug_rotate_rad: float = 0.0        # global yaw ~ U(-a, a) about z
 
+    # -- memory/stability knobs (absent in the reference) -------------------
+    # remat: rematerialize the three feature trunks in the backward pass
+    # (jax.checkpoint) — trades one extra trunk forward for not storing the
+    # full-resolution BEV/RGB/front conv activations, the dominant training
+    # HBM cost; enables ~2x larger train batches per chip.
+    remat: bool = False
+    # global-norm gradient clipping applied to the trained subnets before
+    # Adam (0 = off, reference behavior).
+    grad_clip_norm: float = 0.0
+
 
 @dataclass(frozen=True)
 class Config:

@@ -218,9 +218,15 @@ class MV3DNet:
 
     def _apply(self, module, variables, *args, train: bool):
         if train:
-            out, updates = module.apply(variables, *args, train,
-                                        mutable=["batch_stats"])
-            return out, updates
+            def fwd(v, *a):
+                return module.apply(v, *a, True, mutable=["batch_stats"])
+            if self.cfg.train.remat:
+                # rematerialize the trunk in the backward pass: only
+                # (variables, inputs) are saved, the full-resolution conv
+                # activations are recomputed — the standard XLA trade of one
+                # extra forward for the dominant training HBM cost
+                fwd = jax.checkpoint(fwd)
+            return fwd(variables, *args)
         return module.apply(variables, *args, False), None
 
     def extract_features(self, variables, top, rgb, front, train=False):

@@ -282,8 +282,14 @@ class Trainer(MV3D):
             schedule = lr
         else:
             raise ValueError(f"unknown lr_schedule {tc.lr_schedule!r}")
+        tx = optax.adam(schedule)
+        if tc.grad_clip_norm > 0:
+            # clip by the global norm of the TRAINED subnets' gradients only
+            # (frozen subnets are zeroed by their branch and must not dilute
+            # the norm)
+            tx = optax.chain(optax.clip_by_global_norm(tc.grad_clip_norm), tx)
         self.optimizer = optax.multi_transform(
-            {"train": optax.adam(schedule), "freeze": optax.set_to_zero()},
+            {"train": tx, "freeze": optax.set_to_zero()},
             label_params)
         params = {n: self.variables[n]["params"] for n in SUBNET_NAMES}
         self.opt_state = self.optimizer.init(params)

@@ -283,3 +283,74 @@ def test_debug_mode_dump_and_nan_guard(tmp_path, dataset):
                 jax.jit(lambda x: x / x)(jnp.zeros(4)))
     finally:
         jax.config.update("jax_debug_nans", False)
+
+
+def test_remat_training_matches_baseline(tmp_path, dataset):
+    """TrainConfig.remat (jax.checkpoint over the three trunks) changes HBM
+    residency, not math: two steps produce the same losses and the same
+    updated parameters as the non-remat step."""
+    import dataclasses
+
+    def run(remat):
+        cfg = dataclasses.replace(CFG, train=dataclasses.replace(
+            CFG.train, remat=remat))
+        tr = Trainer(dataset, train_targets=list(SUBNET_NAMES), cfg=cfg,
+                     log_tag=f"remat{int(remat)}",
+                     checkpoint_dir=str(tmp_path / f"c{int(remat)}"),
+                     log_dir=str(tmp_path / f"l{int(remat)}"), seed=3)
+        losses = tr.fit_iteration(dataset.load())
+        return losses, jax.tree.map(np.asarray,
+                                    tr.variables[TOP_VIEW_RPN]["params"])
+
+    # one step only: the forward (hence the loss) is the same program, and
+    # the post-step params differ only by backward-pass fusion reordering.
+    # Comparing SECOND-step losses would be meaningless — target subsampling
+    # and proposal top-k make the step function discontinuous in params, so
+    # ulp-level gradient differences amplify to percent-level loss changes.
+    (l0, p0), (l1, p1) = run(False), run(True)
+    for k in l0:
+        np.testing.assert_allclose(l0[k], l1[k], rtol=1e-5, atol=1e-6)
+    jax.tree_util.tree_map(
+        lambda a, b: np.testing.assert_allclose(a, b, rtol=5e-3, atol=1e-5),
+        p0, p1)
+
+
+def test_grad_clip_norm_plumbing(tmp_path, dataset):
+    """grad_clip_norm builds a clip->adam chain over the trained subnets:
+    updates for gradients of global norm G >> clip equal the updates for the
+    same gradients pre-scaled to the clip norm (and training still steps)."""
+    import dataclasses
+
+    cfg = dataclasses.replace(CFG, train=dataclasses.replace(
+        CFG.train, grad_clip_norm=1.0))
+    tr = Trainer(dataset, train_targets=[TOP_VIEW_RPN], cfg=cfg,
+                 log_tag="clip", checkpoint_dir=str(tmp_path / "ckpt"),
+                 log_dir=str(tmp_path / "log"))
+    losses = tr.fit_iteration(dataset.load())
+    assert all(np.isfinite(v) for v in losses.values())
+
+    # direct property check on the built optimizer
+    params = {n: tr.variables[n]["params"] for n in SUBNET_NAMES}
+    big = jax.tree.map(lambda a: jnp.full_like(a, 100.0), params)
+    gnorm = float(optax_global_norm(big, [TOP_VIEW_RPN]))
+    scaled = jax.tree.map(lambda a: a * (1.0 / gnorm), big)
+    # zero the frozen subnets exactly as multi_transform's freeze branch does
+    for t in (big, scaled):
+        for n in SUBNET_NAMES:
+            if n != TOP_VIEW_RPN:
+                t[n] = jax.tree.map(jnp.zeros_like, t[n])
+    s1 = tr.optimizer.init(params)
+    u_big, _ = tr.optimizer.update(big, s1, params)
+    s2 = tr.optimizer.init(params)
+    u_scaled, _ = tr.optimizer.update(scaled, s2, params)
+    jax.tree_util.tree_map(
+        lambda a, b: np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), rtol=1e-6, atol=1e-8),
+        u_big[TOP_VIEW_RPN], u_scaled[TOP_VIEW_RPN])
+
+
+def optax_global_norm(tree, subnets):
+    leaves = []
+    for n in subnets:
+        leaves += jax.tree_util.tree_leaves(tree[n])
+    return jnp.sqrt(sum(jnp.sum(jnp.square(x)) for x in leaves))
