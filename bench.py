@@ -379,6 +379,48 @@ def main():
             f"({dt_t*1000:.1f} sec/1000 iters; the reference trains batch-1 "
             f"steps with ~6 host crossings each) losses={losses}")
 
+    # ---- supplementary: AOT serving artifact (BENCH_EXPORT=1) --------------
+    # Freezes the pure-device program via jax.export (mv3d_tpu/serving) and
+    # measures the deserialized artifact — the deployment path must not cost
+    # anything over the in-process jit path.
+    if os.environ.get("BENCH_EXPORT"):
+        try:
+            import tempfile
+
+            from mv3d_tpu.serving import export_serving, load_serving
+            edir = tempfile.mkdtemp(prefix="benchexport_")
+            t0 = time.time()
+            export_serving(variables, cfg, edir, batch_size=BATCH,
+                           score_threshold=0.05)
+            served = load_serving(edir)
+            log(f"export+reload: {time.time()-t0:.1f}s "
+                f"({sum(os.path.getsize(os.path.join(edir, f)) for f in os.listdir(edir))/1e6:.1f} MB artifact)")
+            nums = [jax.device_put(jnp.full((BATCH,), n_pts, jnp.int32))]
+            outs = []
+            for i in range(N_WARM * N_DISTINCT):
+                outs.append(served._call(served._variables,
+                                         batches[i % N_DISTINCT], nums[0],
+                                         rgbs[i % N_DISTINCT]))
+                if len(outs) > 4:
+                    outs.pop(0)
+            jax.block_until_ready(outs)
+            t0 = time.time()
+            outs = []
+            for i in range(N_MEAS):
+                outs.append(served._call(served._variables,
+                                         batches[i % N_DISTINCT], nums[0],
+                                         rgbs[i % N_DISTINCT]))
+                if len(outs) > 4:
+                    outs.pop(0)
+            jax.block_until_ready(outs)
+            dt_e = (time.time() - t0) / N_MEAS
+            log(f"e2e AOT artifact (deserialized jax.export program): "
+                f"{dt_e*1000:.2f} ms/step ({dt_e/BATCH*1000:.2f} ms/frame) = "
+                f"{BATCH/dt_e:.1f} frames/sec ({fps/ (BATCH/dt_e):.2f}x = "
+                f"in-process jit / artifact ratio)")
+        except Exception as e:   # keep the official JSON line alive
+            log(f"export bench section failed: {e!r}")
+
     # ---- supplementary: voxelizer throughput + CPU-oracle comparison -------
     vox = jax.jit(lambda p: voxelize.lidar_to_top_batch(p, cfg))
     jax.block_until_ready(vox(batches[0]))
