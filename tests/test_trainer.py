@@ -354,3 +354,28 @@ def optax_global_norm(tree, subnets):
     for n in subnets:
         leaves += jax.tree_util.tree_leaves(tree[n])
     return jnp.sqrt(sum(jnp.sum(jnp.square(x)) for x in leaves))
+
+
+def test_continue_train_resumes_step_and_weights(tmp_path, dataset):
+    """Simulated preemption: a fresh Trainer with continue_train=True picks
+    up the saved global step AND the saved weights, and keeps training
+    (parity: reference continue_train + load_progress, mv3d.py:879-883,
+    963-977)."""
+    tr = Trainer(dataset, train_targets=[TOP_VIEW_RPN], cfg=CFG,
+                 log_tag="resume", checkpoint_dir=str(tmp_path / "ckpt"),
+                 log_dir=str(tmp_path / "log"), lr=1e-2)
+    tr(3)   # trains 3 iters, saves weights + progress at the end
+    trained = jax.tree.map(np.asarray, tr.variables[TOP_VIEW_RPN]["params"])
+    assert tr.n_global_step == 3
+
+    tr2 = Trainer(dataset, train_targets=[TOP_VIEW_RPN], cfg=CFG,
+                  log_tag="resume", checkpoint_dir=str(tmp_path / "ckpt"),
+                  log_dir=str(tmp_path / "log"), lr=1e-2,
+                  continue_train=True)
+    assert tr2.n_global_step == 3
+    restored = jax.tree.map(np.asarray, tr2.variables[TOP_VIEW_RPN]["params"])
+    jax.tree_util.tree_map(np.testing.assert_array_equal, trained, restored)
+
+    last = tr2(2)
+    assert tr2.n_global_step == 5
+    assert all(np.isfinite(v) for v in last.values())
