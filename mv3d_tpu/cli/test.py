@@ -80,8 +80,8 @@ def main(argv=None):
     if args.command == "test_rpn":
         import jax
         from ..ops.voxelize import lidar_to_top_batch
-        from ..ops.anchors import non_empty_anchor_mask
         from ..ops.proposal import rpn_proposals
+        from ..train.trainer import _frame0
 
         model = predictor.model
 
@@ -89,8 +89,10 @@ def main(argv=None):
         def rpn_only(variables, points, num_points):
             top = lidar_to_top_batch(points, cfg, num_points)
             out = model.top_rpn.apply(variables["top_view_rpn"], top, False)
-            inside = non_empty_anchor_mask(top[0], model.anchors,
-                                           cfg.pipeline.remove_empty_thresh)
+            # model.anchor_mask handles every view layout ("hwc", folded
+            # "s2d2", lane-padded "s2d2p" pair); the generic
+            # non_empty_anchor_mask assumes an unfolded (H, W, C) view
+            inside = model.anchor_mask(_frame0(top))
             props = rpn_proposals(out["scores"][0], out["deltas"][0],
                                   model.anchors, inside, cfg)
             return props
@@ -207,6 +209,7 @@ def main(argv=None):
         import jax
         from ..ops.voxelize import lidar_to_top_batch
         from ..utils.metrics import dump_debug_images
+        from ..train.trainer import _frame0
 
         model = predictor.model
 
@@ -215,7 +218,7 @@ def main(argv=None):
             from ..ops.proposal import rpn_proposals
             top = lidar_to_top_batch(points, cfg, num_points)
             out = model.top_rpn.apply(variables["top_view_rpn"], top, False)
-            inside = model.anchor_mask(top[0])
+            inside = model.anchor_mask(_frame0(top))
             props = rpn_proposals(out["scores"][0], out["deltas"][0],
                                   model.anchors, inside, cfg)
             return top, props
@@ -227,8 +230,11 @@ def main(argv=None):
                                   jnp.asarray(b["points"]),
                                   jnp.asarray(b["num_points"]))
             mask = np.asarray(props.mask)
+            # pair views have no single drawable plane; keep the heights
+            top_img = np.asarray(_frame0(top)[0] if isinstance(top, tuple)
+                                 else top[0])
             dump_debug_images(
-                args.out_dir, i, np.asarray(top[0]), rgb=f.rgb,
+                args.out_dir, i, top_img, rgb=f.rgb,
                 gt_boxes3d=f.gt_boxes3d if len(f.gt_boxes3d) else None,
                 proposals=np.asarray(props.rois)[mask][:, 1:5], cfg=cfg)
         print(f"probe images -> {args.out_dir}")

@@ -19,6 +19,8 @@ import flax.linen as nn
 import jax.numpy as jnp
 import numpy as np
 
+from ..ops.quantized import conv_cls, dense_cls
+
 Dtype = Any
 
 
@@ -47,12 +49,18 @@ class ConvBnRelu(nn.Module):
     features: int
     kernel: Tuple[int, int] = (3, 3)
     strides: Tuple[int, int] = (1, 1)
+    quant: str = "none"       # "int8" -> int8 MXU conv (ops/quantized.py)
     dtype: Dtype = jnp.bfloat16
 
     @nn.compact
     def __call__(self, x, train: bool = False):
-        x = nn.Conv(self.features, self.kernel, self.strides, padding="SAME",
-                    use_bias=False, dtype=self.dtype)(x)
+        # int8 is a serving-time forward: training always runs the float
+        # path (round() has zero gradient); the param tree is identical
+        # explicit name: the quantized class must land in the same
+        # checkpoint scope as the float nn.Conv's auto-name ("Conv_0")
+        x = conv_cls("none" if train else self.quant)(
+            self.features, self.kernel, self.strides, padding="SAME",
+            use_bias=False, dtype=self.dtype, name="Conv_0")(x)
         x = nn.BatchNorm(use_running_average=not train, momentum=0.9,
                          dtype=jnp.float32)(x.astype(jnp.float32))
         return nn.relu(x).astype(self.dtype)
@@ -60,11 +68,14 @@ class ConvBnRelu(nn.Module):
 
 class DenseBnRelu(nn.Module):
     features: int
+    quant: str = "none"
     dtype: Dtype = jnp.bfloat16
 
     @nn.compact
     def __call__(self, x, train: bool = False):
-        x = nn.Dense(self.features, use_bias=False, dtype=self.dtype)(x)
+        x = dense_cls("none" if train else self.quant)(
+            self.features, use_bias=False, dtype=self.dtype,
+            name="Dense_0")(x)
         x = nn.BatchNorm(use_running_average=not train, momentum=0.9,
                          dtype=jnp.float32)(x.astype(jnp.float32))
         return nn.relu(x).astype(self.dtype)
@@ -93,34 +104,39 @@ class Bottleneck(nn.Module):
     filters: int
     strides: Tuple[int, int] = (1, 1)
     plain_entry: bool = False   # first block right after the stem's bn-relu
+    quant: str = "none"
     dtype: Dtype = jnp.bfloat16
 
     @nn.compact
     def __call__(self, x, train: bool = False):
+        conv = conv_cls("none" if train else self.quant)
+
         def bn_relu(h):
             h = nn.BatchNorm(use_running_average=not train, momentum=0.9,
                              dtype=jnp.float32)(h.astype(jnp.float32))
             return nn.relu(h).astype(self.dtype)
 
         out_c = self.filters * 4
+        # explicit names = the float nn.Conv auto-names (checkpoint scope)
         if self.plain_entry:
-            h = nn.Conv(self.filters, (1, 1), self.strides, padding="SAME",
-                        use_bias=False, dtype=self.dtype)(x)
+            h = conv(self.filters, (1, 1), self.strides, padding="SAME",
+                     use_bias=False, dtype=self.dtype, name="Conv_0")(x)
         else:
             h = bn_relu(x)
-            h = nn.Conv(self.filters, (1, 1), self.strides, padding="SAME",
-                        use_bias=False, dtype=self.dtype)(h)
+            h = conv(self.filters, (1, 1), self.strides, padding="SAME",
+                     use_bias=False, dtype=self.dtype, name="Conv_0")(h)
         h = bn_relu(h)
-        h = nn.Conv(self.filters, (3, 3), padding="SAME", use_bias=False,
-                    dtype=self.dtype)(h)
+        h = conv(self.filters, (3, 3), padding="SAME", use_bias=False,
+                 dtype=self.dtype, name="Conv_1")(h)
         h = bn_relu(h)
-        h = nn.Conv(out_c, (1, 1), padding="SAME", use_bias=False,
-                    dtype=self.dtype)(h)
+        h = conv(out_c, (1, 1), padding="SAME", use_bias=False,
+                 dtype=self.dtype, name="Conv_2")(h)
 
         shortcut = x
         if x.shape[-1] != out_c or self.strides != (1, 1):
-            shortcut = nn.Conv(out_c, (1, 1), self.strides, padding="SAME",
-                               use_bias=False, dtype=self.dtype)(x)
+            shortcut = conv(out_c, (1, 1), self.strides, padding="SAME",
+                            use_bias=False, dtype=self.dtype,
+                            name="Conv_3")(x)
         return h + shortcut
 
 
@@ -131,31 +147,34 @@ class BasicBlock(nn.Module):
     filters: int
     strides: Tuple[int, int] = (1, 1)
     plain_entry: bool = False
+    quant: str = "none"
     dtype: Dtype = jnp.bfloat16
 
     @nn.compact
     def __call__(self, x, train: bool = False):
+        conv = conv_cls("none" if train else self.quant)
+
         def bn_relu(h):
             h = nn.BatchNorm(use_running_average=not train, momentum=0.9,
                              dtype=jnp.float32)(h.astype(jnp.float32))
             return nn.relu(h).astype(self.dtype)
 
         if self.plain_entry:
-            h = nn.Conv(self.filters, (3, 3), self.strides, padding="SAME",
-                        use_bias=False, dtype=self.dtype)(x)
+            h = conv(self.filters, (3, 3), self.strides, padding="SAME",
+                     use_bias=False, dtype=self.dtype, name="Conv_0")(x)
         else:
             h = bn_relu(x)
-            h = nn.Conv(self.filters, (3, 3), self.strides, padding="SAME",
-                        use_bias=False, dtype=self.dtype)(h)
+            h = conv(self.filters, (3, 3), self.strides, padding="SAME",
+                     use_bias=False, dtype=self.dtype, name="Conv_0")(h)
         h = bn_relu(h)
-        h = nn.Conv(self.filters, (3, 3), padding="SAME", use_bias=False,
-                    dtype=self.dtype)(h)
+        h = conv(self.filters, (3, 3), padding="SAME", use_bias=False,
+                 dtype=self.dtype, name="Conv_1")(h)
 
         shortcut = x
         if x.shape[-1] != self.filters or self.strides != (1, 1):
-            shortcut = nn.Conv(self.filters, (1, 1), self.strides,
-                               padding="SAME", use_bias=False,
-                               dtype=self.dtype)(x)
+            shortcut = conv(self.filters, (1, 1), self.strides,
+                            padding="SAME", use_bias=False,
+                            dtype=self.dtype, name="Conv_2")(x)
         return h + shortcut
 
 
@@ -211,6 +230,10 @@ class ResnetTiny(nn.Module):
     # identical to SAME-padding at the true boundary).
     split_stem: bool = False
     crop_w: int = 0
+    # "int8": residual-block convs run int8 on the MXU (ops/quantized.py).
+    # The stem stays float — first-layer quantization is the standard PTQ
+    # accuracy cliff, and the stem sees raw voxel statistics.
+    quant: str = "none"
 
     @nn.compact
     def __call__(self, x, train: bool = False):
@@ -255,6 +278,6 @@ class ResnetTiny(nn.Module):
                 strides = (2, 2) if (j == 0 and i != 0) else (1, 1)
                 x = block_cls(filters, strides,
                               plain_entry=(i == 0 and j == 0),
-                              dtype=self.dtype)(x, train)
+                              quant=self.quant, dtype=self.dtype)(x, train)
             filters *= 2
         return x

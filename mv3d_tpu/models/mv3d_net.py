@@ -118,16 +118,19 @@ class MV3DNet:
                               upsample=m.upsample_features, s2d_factor=s2d_top,
                               input_prefolded=folded, split_stem=padded,
                               crop_w=cfg.top.yn // 2 if padded else 0,
-                              block=m.backbone_block, repetitions=reps)
+                              block=m.backbone_block, repetitions=reps,
+                              quant=m.quant)
         self.rgb_net = RgbFeatureNet(dtype=dtype, upsample=m.upsample_features,
                                      s2d_factor=s2d_rgb,
                                      basenet=m.rgb_basenet,
-                                     block=m.backbone_block, repetitions=reps)
+                                     block=m.backbone_block, repetitions=reps,
+                                     quant=m.quant)
         self.front_net = FrontFeatureNet(dtype=dtype,
                                          upsample=m.upsample_features,
                                          s2d_factor=s2d_top,
                                          block=m.backbone_block,
-                                         repetitions=reps)
+                                         repetitions=reps,
+                                         quant=m.quant)
         self.fusion = FusionHead(cfg=cfg, dtype=dtype)
         anchors_np, _ = anchor_setup(cfg)
         self.anchors = jnp.asarray(anchors_np)

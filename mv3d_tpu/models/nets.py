@@ -57,6 +57,7 @@ class TopRPN(nn.Module):
     crop_w: int = 0
     block: str = "bottleneck"
     repetitions: Tuple[int, ...] = (3, 4)
+    quant: str = "none"
     dtype: Dtype = jnp.bfloat16
 
     @nn.compact
@@ -65,10 +66,13 @@ class TopRPN(nn.Module):
                        input_prefolded=self.input_prefolded,
                        split_stem=self.split_stem, crop_w=self.crop_w,
                        block=self.block, repetitions=self.repetitions,
+                       quant=self.quant,
                        name="trunk")(top_view, train)
-        x = ConvBnRelu(128, (1, 1), dtype=self.dtype, name="reduce")(x, train)
+        x = ConvBnRelu(128, (1, 1), quant=self.quant, dtype=self.dtype,
+                       name="reduce")(x, train)
 
-        up = ConvBnRelu(128, (3, 3), dtype=self.dtype, name="rpn_conv")(x, train)
+        up = ConvBnRelu(128, (3, 3), quant=self.quant, dtype=self.dtype,
+                        name="rpn_conv")(x, train)
         scores = nn.Conv(2 * self.num_bases, (1, 1), padding="SAME",
                          dtype=self.dtype, name="rpn_score")(up)
         deltas = nn.Conv(4 * self.num_bases, (1, 1), padding="SAME",
@@ -93,6 +97,7 @@ class VggTrunk(nn.Module):
     """VGG-style stride-8 trunk — the reference's plain ``rgb_feature_net``
     (mv3d_net.py:214-252, selected by cfg.RGB_BASENET='VGG'): conv blocks
     (32,32)/pool, (64,64)/pool, (128,128,128)/pool, (128,128,128)."""
+    quant: str = "none"
     dtype: Dtype = jnp.bfloat16
 
     @nn.compact
@@ -101,7 +106,9 @@ class VggTrunk(nn.Module):
         for bi, (reps, ch, pool) in enumerate(
                 [(2, 32, True), (2, 64, True), (3, 128, True), (3, 128, False)]):
             for j in range(reps):
-                x = ConvBnRelu(ch, (3, 3), dtype=self.dtype,
+                # first conv sees raw pixels: stays float (PTQ first-layer rule)
+                q = "none" if (bi == 0 and j == 0) else self.quant
+                x = ConvBnRelu(ch, (3, 3), quant=q, dtype=self.dtype,
                                name=f"block{bi+1}_conv{j+1}")(x, train)
             if pool:
                 x = nn.max_pool(x, (2, 2), strides=(2, 2), padding="SAME")
@@ -116,17 +123,20 @@ class RgbFeatureNet(nn.Module):
     basenet: str = "resnet"
     block: str = "bottleneck"
     repetitions: Tuple[int, ...] = (3, 4)
+    quant: str = "none"
     dtype: Dtype = jnp.bfloat16
 
     @nn.compact
     def __call__(self, rgb: jnp.ndarray, train: bool = False):
         if self.basenet == "vgg":
-            x = VggTrunk(dtype=self.dtype, name="trunk")(rgb, train)
+            x = VggTrunk(quant=self.quant, dtype=self.dtype,
+                         name="trunk")(rgb, train)
         else:
             x = ResnetTiny(s2d_factor=self.s2d_factor, dtype=self.dtype,
                            block=self.block, repetitions=self.repetitions,
-                           name="trunk")(rgb, train)
-        x = ConvBnRelu(128, (1, 1), dtype=self.dtype, name="reduce")(x, train)
+                           quant=self.quant, name="trunk")(rgb, train)
+        x = ConvBnRelu(128, (1, 1), quant=self.quant, dtype=self.dtype,
+                       name="reduce")(x, train)
         if self.upsample:
             x = Upsample2D(128, factor=2, dtype=self.dtype, name="upsample")(x)
         return x
@@ -138,14 +148,16 @@ class FrontFeatureNet(nn.Module):
     s2d_factor: int = 0
     block: str = "bottleneck"
     repetitions: Tuple[int, ...] = (3, 4)
+    quant: str = "none"
     dtype: Dtype = jnp.bfloat16
 
     @nn.compact
     def __call__(self, front: jnp.ndarray, train: bool = False):
         x = ResnetTiny(s2d_factor=self.s2d_factor, dtype=self.dtype,
                        block=self.block, repetitions=self.repetitions,
-                       name="trunk")(front, train)
-        x = ConvBnRelu(128, (1, 1), dtype=self.dtype, name="reduce")(x, train)
+                       quant=self.quant, name="trunk")(front, train)
+        x = ConvBnRelu(128, (1, 1), quant=self.quant, dtype=self.dtype,
+                       name="reduce")(x, train)
         if self.upsample:
             x = Upsample2D(128, factor=4, dtype=self.dtype, name="upsample")(x)
         return x
@@ -154,14 +166,15 @@ class FrontFeatureNet(nn.Module):
 class _RoiTower(nn.Module):
     """Per-view ROI feature tower: 3 residual conv blocks with avg-pool /2
     (reference fusion_net blocks, mv3d_net.py:499-530): 6x6 -> 3 -> 2 -> 1."""
+    quant: str = "none"
     dtype: Dtype = jnp.bfloat16
 
     @nn.compact
     def __call__(self, x, train: bool = False):
         for i, ch in enumerate((128, 256, 512)):
-            h = ConvBnRelu(ch, (3, 3), dtype=self.dtype,
+            h = ConvBnRelu(ch, (3, 3), quant=self.quant, dtype=self.dtype,
                            name=f"block{i+1}_conv1")(x, train)
-            h = ConvBnRelu(ch, (3, 3), dtype=self.dtype,
+            h = ConvBnRelu(ch, (3, 3), quant=self.quant, dtype=self.dtype,
                            name=f"block{i+1}_conv2")(h, train) + h
             x = nn.avg_pool(h, (2, 2), strides=(2, 2), padding="SAME")
         return x.reshape(x.shape[0], -1)    # (R, 512)
@@ -177,14 +190,18 @@ class _PredictHead(nn.Module):
     """
     num_class: int
     out_dim: int = 24   # 8 corners x 3
+    quant: str = "none"
     dtype: Dtype = jnp.bfloat16
 
     @nn.compact
     def __call__(self, feat, train: bool = False):
+        # score / box_3 output layers stay float (PTQ last-layer rule)
         scores = nn.Dense(self.num_class, dtype=self.dtype,
                           name="score")(feat).astype(jnp.float32)
-        h = DenseBnRelu(256, dtype=self.dtype, name="box_1")(feat, train)
-        h = DenseBnRelu(256, dtype=self.dtype, name="box_2")(h, train)
+        h = DenseBnRelu(256, quant=self.quant, dtype=self.dtype,
+                        name="box_1")(feat, train)
+        h = DenseBnRelu(256, quant=self.quant, dtype=self.dtype,
+                        name="box_2")(h, train)
         deltas = nn.Dense(self.num_class * self.out_dim, dtype=self.dtype,
                           name="box_3")(h).astype(jnp.float32)
         deltas = deltas.reshape(-1, self.num_class, 8, 3)
@@ -206,16 +223,18 @@ class FusionHead(nn.Module):
     @nn.compact
     def __call__(self, roi_feats: Dict[str, jnp.ndarray], train: bool = False):
         m = self.cfg.model
+        quant = m.quant
         feats = {}
         for name in ("top", "front", "rgb"):
             if name in roi_feats:
-                f = _RoiTower(dtype=self.dtype, name=f"{name}_tower")(
+                f = _RoiTower(quant=quant, dtype=self.dtype,
+                              name=f"{name}_tower")(
                     roi_feats[name].astype(self.dtype), train)
                 ctx_key = name + "_ctx"
                 if ctx_key in roi_feats:
                     # siamese context branch: twin tower over the enlarged-roi
                     # features, concatenated per view (mv3d_net.py:535-599)
-                    fc = _RoiTower(dtype=self.dtype,
+                    fc = _RoiTower(quant=quant, dtype=self.dtype,
                                    name=f"{name}_ctx_tower")(
                         roi_feats[ctx_key].astype(self.dtype), train)
                     f = jnp.concatenate([f, fc], axis=1)
@@ -225,25 +244,33 @@ class FusionHead(nn.Module):
         all_views = non_rgb + ([feats["rgb"]] if "rgb" in feats else [])
 
         wo = jnp.concatenate(non_rgb, axis=1)
-        wo = DenseBnRelu(512, dtype=self.dtype, name="fc_wo_rgb_1")(wo, train)
-        wo = DenseBnRelu(512, dtype=self.dtype, name="fc_wo_rgb_2")(wo, train)
+        wo = DenseBnRelu(512, quant=quant, dtype=self.dtype,
+                         name="fc_wo_rgb_1")(wo, train)
+        wo = DenseBnRelu(512, quant=quant, dtype=self.dtype,
+                         name="fc_wo_rgb_2")(wo, train)
 
         w = jnp.concatenate(all_views, axis=1)
-        w = DenseBnRelu(512, dtype=self.dtype, name="fc_all_1")(w, train)
-        w = DenseBnRelu(512, dtype=self.dtype, name="fc_all_2")(w, train)
+        w = DenseBnRelu(512, quant=quant, dtype=self.dtype,
+                        name="fc_all_1")(w, train)
+        w = DenseBnRelu(512, quant=quant, dtype=self.dtype,
+                        name="fc_all_2")(w, train)
         if m.use_siamese_fusion:
             # extra mixing layer for the siamese features (mv3d_net.py:607-618)
-            wo = DenseBnRelu(512, dtype=self.dtype, name="fc_wo_rgb_3")(wo, train)
-            w = DenseBnRelu(512, dtype=self.dtype, name="fc_all_3")(w, train)
+            wo = DenseBnRelu(512, quant=quant, dtype=self.dtype,
+                             name="fc_wo_rgb_3")(wo, train)
+            w = DenseBnRelu(512, quant=quant, dtype=self.dtype,
+                            name="fc_all_3")(w, train)
 
         scores_w, deltas_w = _PredictHead(
-            m.num_class, dtype=self.dtype, name="head_with_rgb")(w, train)
+            m.num_class, quant=quant, dtype=self.dtype,
+            name="head_with_rgb")(w, train)
         probs_w = jax.nn.softmax(scores_w, axis=-1)
 
         need_twin = m.use_handcraft_fusion or m.use_learnable_fusion
         if need_twin:
             scores_wo, deltas_wo = _PredictHead(
-                m.num_class, dtype=self.dtype, name="head_without_rgb")(wo, train)
+                m.num_class, quant=quant, dtype=self.dtype,
+                name="head_without_rgb")(wo, train)
             probs_wo = jax.nn.softmax(scores_wo, axis=-1)
         else:
             # reference default: single head, twin outputs aliased

