@@ -135,6 +135,57 @@ def main():
             f"MFU {mfu*100:.1f}% of v5e bf16 peak "
             f"(detection is scatter/vector-bound, not MXU-bound)")
 
+    # ---- supplementary: int8 serving quantization (BENCH_QUANT=1) ----------
+    # model.quant="int8": trunk/ROI-tower/fusion matmuls run int8 on the MXU
+    # (ops/quantized.py; v5e int8 peak is 2x bf16). The param tree is
+    # identical to the float model's, so the same `variables` serve both.
+    if os.environ.get("BENCH_QUANT"):
+        try:
+            qm_cfg = dataclasses.replace(cfg, model=dataclasses.replace(
+                cfg.model, quant="int8"))
+            qmodel = MV3DNet(qm_cfg)
+
+            def full_q(variables, points, rgb):
+                top, occ = voxelize.lidar_to_top_batch(points, qm_cfg,
+                                                       return_occ=True)
+                front = voxelize.lidar_to_front_batch(points, qm_cfg)
+                dets, _ = qmodel.forward_inference(variables, top, rgb, front,
+                                                   score_threshold=0.05,
+                                                   top_occ=occ)
+                return dets.boxes3d, dets.probs, dets.mask
+
+            fQ = jax.jit(full_q)
+            t0 = time.time()
+            outq = fQ(variables, batches[0], rgbs[0])
+            jax.block_until_ready(outq)
+            log(f"int8 compile: {time.time()-t0:.1f}s")
+            for i in range(N_WARM * N_DISTINCT):
+                outq = fQ(variables, batches[i % N_DISTINCT],
+                          rgbs[i % N_DISTINCT])
+            jax.block_until_ready(outq)
+            t0 = time.time()
+            outs_q = []
+            for i in range(N_MEAS):
+                outs_q.append(fQ(variables, batches[i % N_DISTINCT],
+                                 rgbs[i % N_DISTINCT]))
+                if len(outs_q) > 4:
+                    outs_q.pop(0)
+            jax.block_until_ready(outs_q)
+            dt_qm = (time.time() - t0) / N_MEAS
+            # detection agreement vs the float pipeline on batch 0
+            bf, pf, mf = (np.asarray(x) for x in
+                          f(variables, batches[0], rgbs[0]))
+            bq, pq, mq = (np.asarray(x) for x in
+                          fQ(variables, batches[0], rgbs[0]))
+            agree = (mf == mq).mean()
+            log(f"e2e pure-device INT8 (model.quant=int8): "
+                f"{dt_qm*1000:.2f} ms/step ({dt_qm/BATCH*1000:.2f} ms/frame) "
+                f"= {BATCH/dt_qm:.1f} frames/sec ({(BATCH/dt_qm)/fps:.2f}x "
+                f"the bf16 pipeline); detection-mask agreement vs float "
+                f"{agree*100:.1f}%")
+        except Exception as e:   # keep the official JSON line alive
+            log(f"int8 bench section failed: {e!r}")
+
     # ---- streaming: real BatchLoader thread feeds the device ---------------
     from mv3d_tpu import native
     if native.available():
