@@ -186,6 +186,52 @@ def main():
         except Exception as e:   # keep the official JSON line alive
             log(f"int8 bench section failed: {e!r}")
 
+    # ---- supplementary: multi-chip serving fan-out (BENCH_MESH=1) ----------
+    # Shards the pure-device program over ALL visible devices with
+    # make_sharded_infer_step (batch P("data"), params replicated) — the
+    # ROADMAP "multi-slice serving fan-out" row. Inference has no
+    # cross-device communication, so fps should scale ~linearly with chips;
+    # on this 1-chip bench host it degenerates to the headline measurement
+    # and exists so any multi-chip deployment gets its number for free.
+    if os.environ.get("BENCH_MESH"):
+        try:
+            from mv3d_tpu.parallel.mesh import (make_mesh, replicate,
+                                                make_sharded_infer_step)
+            ndev = len(jax.devices())
+            mesh = make_mesh(ndev)
+            mvars = replicate(variables, mesh)
+            infer = make_sharded_infer_step(model, mesh,
+                                            score_threshold=0.05)
+            gb = BATCH * ndev
+            mbatches = [jax.device_put(jnp.asarray(np.concatenate(
+                [host_clouds[(i + j) % N_DISTINCT] for j in range(ndev)])))
+                for i in range(N_DISTINCT)]
+            mrgbs = [jax.device_put(jnp.asarray(rng.rand(
+                gb, *cfg.rgb_shape).astype(np.float32)))
+                for _ in range(N_DISTINCT)]
+            t0 = time.time()
+            d = infer(mvars, mbatches[0], mrgbs[0])
+            jax.block_until_ready(d)
+            log(f"mesh compile ({ndev} devices): {time.time()-t0:.1f}s")
+            for i in range(N_WARM * N_DISTINCT):
+                d = infer(mvars, mbatches[i % N_DISTINCT],
+                          mrgbs[i % N_DISTINCT])
+            jax.block_until_ready(d)
+            t0 = time.time()
+            ds_ = []
+            for i in range(N_MEAS):
+                ds_.append(infer(mvars, mbatches[i % N_DISTINCT],
+                                 mrgbs[i % N_DISTINCT]))
+                if len(ds_) > 2:
+                    ds_.pop(0)
+            jax.block_until_ready(ds_)
+            dt_m = (time.time() - t0) / N_MEAS
+            log(f"e2e sharded serving fan-out ({ndev} devices, global batch "
+                f"{gb}): {dt_m*1000:.2f} ms/step = {gb/dt_m:.1f} frames/sec "
+                f"({(gb/dt_m)/fps:.2f}x the 1-chip headline)")
+        except Exception as e:   # keep the official JSON line alive
+            log(f"mesh bench section failed: {e!r}")
+
     # ---- streaming: real BatchLoader thread feeds the device ---------------
     from mv3d_tpu import native
     if native.available():

@@ -21,9 +21,20 @@ assert jax.devices()[0].platform == "cpu", jax.devices()
 
 # Persistent XLA compilation cache: the suite's cost is dominated by CPU
 # compiles of the full model graph; repeat runs hit the cache and the suite
-# drops from ~15 min to ~2 min. Safe to share across processes.
+# drops from ~15 min to ~2 min. Safe to share across processes. The dir is
+# keyed on the host's CPU flags: XLA:CPU AOT entries compiled on a different
+# machine type load with SIGILL-risk warnings and measured ~60% slower
+# (cpu_aot_loader machine-feature mismatch), so a host move must start clean.
+import hashlib  # noqa: E402
+
+try:
+    with open("/proc/cpuinfo") as f:
+        _flags = next((ln for ln in f if ln.startswith("flags")), "")
+except OSError:
+    _flags = ""
+_host_key = hashlib.sha1(_flags.encode()).hexdigest()[:8]
 _cache_dir = os.path.join(os.path.dirname(os.path.dirname(
-    os.path.abspath(__file__))), ".jax_cache")
+    os.path.abspath(__file__))), ".jax_cache", _host_key)
 jax.config.update("jax_compilation_cache_dir", _cache_dir)
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 2.0)
 
