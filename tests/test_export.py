@@ -116,3 +116,25 @@ def test_cli_export_random_init(tmp_path):
     pts, num, rgb = _inputs(b=1, seed=4)
     boxes, probs, mask = served(pts, num, rgb)
     assert boxes.shape[0] == 1
+
+
+def test_export_int8_model(variables, tmp_path):
+    """model.quant='int8' exports: the artifact carries the int8 serving
+    program (weights quantize in-graph from the float params riding in the
+    artifact) and matches the in-process quantized-model pipeline."""
+    import dataclasses
+
+    qcfg = dataclasses.replace(
+        CFG, model=dataclasses.replace(CFG.model, quant="int8"))
+    out = export_serving(variables, qcfg, str(tmp_path / "arti8"),
+                         batch_size=1, score_threshold=0.05)
+    served = load_serving(out)
+    pts, num, rgb = _inputs(b=1, seed=5)
+    got = served(pts, num, rgb)
+    assert np.isfinite(got[0]).all() and np.isfinite(got[1]).all()
+
+    fn, _ = build_serving_fn(qcfg, score_threshold=0.05)
+    want = jax.jit(fn)(variables, jnp.asarray(pts), jnp.asarray(num),
+                       jnp.asarray(rgb))
+    for g, w in zip(got, want):
+        np.testing.assert_array_equal(g, np.asarray(w))
