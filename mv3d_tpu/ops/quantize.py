@@ -46,13 +46,19 @@ def _bounds(cfg: Config) -> Tuple[np.ndarray, np.ndarray]:
     return lo, hi
 
 
-def quantize_points(points: np.ndarray, cfg: Config = _default_cfg
+def quantize_points(points: np.ndarray, cfg: Config = _default_cfg,
+                    bounds: Tuple[np.ndarray, np.ndarray] = None
                     ) -> Tuple[np.ndarray, np.ndarray]:
     """Host-side: (..., N, 4) f32 -> (xyz_q (..., N, 3) uint16,
     refl_q (..., N) uint8). Out-of-range points (incl. pad_points' -1e9
-    rows) clip to the margin bounds, which the strict crop rejects."""
+    rows) clip to the margin bounds, which the strict crop rejects.
+
+    ``bounds``: explicit (lo, hi) per-axis ranges — serving hosts that only
+    have an exported artifact pass the bounds from its meta.json instead of
+    a cfg (the dequantization bounds are baked into the frozen program)."""
     points = np.asarray(points, np.float32)
-    lo, hi = _bounds(cfg)
+    lo, hi = (np.asarray(bounds[0], np.float32),
+              np.asarray(bounds[1], np.float32)) if bounds else _bounds(cfg)
     scale = (hi - lo) / QMAX
     q = np.clip(np.rint((points[..., :3] - lo) / scale), 0, QMAX
                 ).astype(np.uint16)

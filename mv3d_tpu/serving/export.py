@@ -167,6 +167,12 @@ def export_serving(variables, cfg: Config, out_dir: str, batch_size: int = 1,
                         if quantized else ["points", "num_points", "rgb"]),
         "output_names": ["boxes3d", "probs", "mask"],
     }
+    if quantized:
+        # the host-side quantization grid matching the frozen in-graph
+        # dequantizer — serving hosts quantize from meta alone, no cfg
+        from ..ops.quantize import _bounds
+        lo, hi = _bounds(cfg)
+        meta["quant_bounds"] = {"lo": lo.tolist(), "hi": hi.tolist()}
     with open(os.path.join(out_dir, _META_FILE), "w") as f:
         json.dump(meta, f, indent=1)
     return out_dir
@@ -201,16 +207,14 @@ class ServingModel:
         num = np.array([m], np.int32)
         rgb = np.asarray(rgb, np.float32)[None]
         if self.meta["quantized"]:
+            # quantize host-side with the grid from meta (the matching
+            # dequantizer is baked into the frozen program) — no cfg needed
             from ..ops.quantize import quantize_points
-            # quantization bounds are baked into the exported program; the
-            # host-side quantizer only needs the same grid, which meta
-            # carries implicitly through the frozen program — callers use
-            # the cfg they exported with
-            raise NotImplementedError(
-                "predict() on quantized artifacts needs the export-time cfg "
-                "for host-side quantization; use __call__ with pre-quantized "
-                "inputs (ops/quantize.quantize_points)")
-        boxes3d, probs, mask = self(pts, num, rgb)
+            b = self.meta["quant_bounds"]
+            q, r = quantize_points(pts, bounds=(b["lo"], b["hi"]))
+            boxes3d, probs, mask = self(q, r, num, rgb)
+        else:
+            boxes3d, probs, mask = self(pts, num, rgb)
         keep = mask[0].astype(bool)
         return boxes3d[0][keep], probs[0][keep]
 

@@ -70,8 +70,10 @@ def test_export_predict_single_frame(variables, tmp_path):
 
 def test_export_quantized_signature(variables, tmp_path):
     """The quantized artifact consumes the uint16/uint8 transfer diet and
-    matches the in-process quantized pipeline bit-exactly."""
-    from mv3d_tpu.ops.quantize import quantize_points
+    matches the in-process quantized pipeline bit-exactly; predict()
+    quantizes host-side from the grid bounds carried in meta.json (no cfg
+    on the serving host)."""
+    from mv3d_tpu.ops.quantize import _bounds, quantize_points
 
     out = export_serving(variables, CFG, str(tmp_path / "artq"), batch_size=1,
                          quantized=True)
@@ -85,8 +87,15 @@ def test_export_quantized_signature(variables, tmp_path):
                        jnp.asarray(num), jnp.asarray(rgb))
     for g, w in zip(got, want):
         np.testing.assert_array_equal(g, np.asarray(w))
-    with pytest.raises(NotImplementedError):
-        served.predict(pts[0], rgb[0])
+
+    lo, hi = _bounds(CFG)
+    assert served.meta["quant_bounds"] == {"lo": lo.tolist(),
+                                           "hi": hi.tolist()}
+    boxes3d, probs = served.predict(pts[0], rgb[0])
+    assert boxes3d.shape[1:] == (8, 3) and np.isfinite(boxes3d).all()
+    # meta-driven host quantization == cfg-driven: same detections
+    keep = got[2][0].astype(bool)
+    np.testing.assert_array_equal(boxes3d, got[0][0][keep])
 
 
 def test_export_cross_platform_lowering(variables, tmp_path):
