@@ -25,13 +25,24 @@ nothing is asserted from overlap arithmetic):
 Measurement notes: the axon remote relay caches executions with identical
 inputs and adds per-dispatch latency, so we (a) cycle through distinct input
 batches and (b) enqueue the whole run before blocking once.
+
+Robustness contract (the round-3 bench died rc=1 when the TPU relay was
+down and recorded NOTHING): this script always prints exactly one parseable
+JSON line on stdout and exits 0. Backend acquisition happens in a killable
+subprocess probe with retries; on persistent TPU failure the bench falls
+back to a scaled-down CPU run marked {"backend": "cpu", "degraded": true};
+a SIGALRM/SIGTERM watchdog emits whatever has been measured so far if the
+relay hangs mid-run (the axon retry loop can sleep forever).
 """
 
 import dataclasses
 import json
 import os
+import signal
+import subprocess
 import sys
 import time
+import traceback
 
 import numpy as np
 
@@ -50,7 +61,64 @@ def log(*a):
     print(*a, file=sys.stderr, flush=True)
 
 
-def main():
+# The one official record. Updated in place as measurements land so the
+# watchdog / exception paths can always emit the best-known partial state.
+RESULT = {"metric": "e2e_fps", "value": 0.0, "unit": "frames/sec",
+          "vs_baseline": 0.0}
+
+
+def emit():
+    print(json.dumps(RESULT), flush=True)
+
+
+# Probe runs in a SUBPROCESS: when the relay is down, in-process backend
+# init either raises (BENCH_r03) or sleeps in a retry loop forever — a
+# subprocess is the only formulation that survives both failure modes.
+_PROBE_SRC = ("import jax, sys; "
+              "sys.exit(0 if any(d.platform != 'cpu' for d in jax.devices())"
+              " else 3)")
+
+
+def probe_tpu() -> bool:
+    """True iff a non-CPU jax backend initializes, with retry+backoff."""
+    if os.environ.get("BENCH_FORCE_CPU"):
+        return False
+    timeout = float(os.environ.get("BENCH_PROBE_TIMEOUT", "150"))
+    for attempt, delay in enumerate((0, 20, 40), 1):
+        if delay:
+            log(f"TPU probe: retrying in {delay}s ...")
+            time.sleep(delay)
+        try:
+            r = subprocess.run([sys.executable, "-c", _PROBE_SRC],
+                               timeout=timeout, capture_output=True,
+                               text=True)
+        except subprocess.TimeoutExpired:
+            log(f"TPU probe attempt {attempt}: hung >{timeout:.0f}s (relay "
+                f"down?)")
+            continue
+        if r.returncode == 0:
+            return True
+        err = (r.stderr.strip().splitlines() or [""])[-1]
+        log(f"TPU probe attempt {attempt}: rc={r.returncode} {err[:200]}")
+    return False
+
+
+def _host_cache_dir():
+    """Host-keyed persistent XLA compile cache (same scheme as conftest.py:
+    AOT entries from a different machine type load with SIGILL risk)."""
+    import hashlib
+    try:
+        with open("/proc/cpuinfo") as f:
+            flags = next((ln for ln in f if ln.startswith("flags")), "")
+    except OSError:
+        flags = ""
+    key = hashlib.sha1(flags.encode()).hexdigest()[:8]
+    return os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                        ".jax_cache", key)
+
+
+def main(on_tpu: bool):
+    global BATCH, N_WARM, N_MEAS, N_DISTINCT
     import jax
     import jax.numpy as jnp
 
@@ -58,7 +126,14 @@ def main():
     from mv3d_tpu.models.mv3d_net import MV3DNet
     from mv3d_tpu.ops import voxelize, voxelize_ref
 
-    on_tpu = jax.default_backend() != "cpu"
+    if not on_tpu:
+        # Degraded CPU fallback: tiny batch, few steps, headline only —
+        # the point is a parseable record, not a meaningful CPU number.
+        BATCH = int(os.environ.get("BENCH_CPU_BATCH", "2"))
+        N_WARM, N_MEAS, N_DISTINCT = 1, 3, 2
+        jax.config.update("jax_compilation_cache_dir", _host_cache_dir())
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 2.0)
+    run_supplementary = on_tpu or bool(os.environ.get("BENCH_CPU_FULL"))
     cfg = kitti_config()
     if on_tpu:
         # Pallas kernels (compiled path only): fused sweep for pure-device,
@@ -125,6 +200,12 @@ def main():
     fps = BATCH / dt
     log(f"e2e pure-device: {dt*1000:.2f} ms/step ({dt/BATCH*1000:.2f} "
         f"ms/frame) = {fps:.1f} frames/sec")
+    # record the headline immediately: any later hang/crash still reports it
+    RESULT.update(value=round(fps, 2), vs_baseline=round(fps / 100.0, 3),
+                  batch=BATCH)
+
+    if not run_supplementary:
+        return
 
     # MFU: XLA's own FLOP count for the full program / measured time / peak
     from mv3d_tpu.utils.macs import flops_of
@@ -234,7 +315,11 @@ def main():
 
     # ---- streaming: real BatchLoader thread feeds the device ---------------
     from mv3d_tpu import native
-    if native.available():
+    try:
+        streaming_available = native.available()
+    except Exception:
+        streaming_available = False
+    if streaming_available:
         from mv3d_tpu.data.kitti import Frame
         from mv3d_tpu.data.loader import BatchLoader
 
@@ -309,6 +394,23 @@ def main():
             f"{fps_s:.1f} frames/sec  [effective link {bw:.0f} MB/s — on "
             f"this bench host the chip sits behind a network relay; a "
             f"PCIe-attached host moves the same bytes in <1 ms]")
+
+        # loader-only throughput: the host half of the streaming story.
+        # Drain the prefetch queue first so the timed loads measure the
+        # worker thread's PRODUCTION rate (crop_pad over 110k-pt frames +
+        # batch assembly), not queue pops.
+        with BatchLoader(ds, lcfg, batch_size=BATCH, prefetch=4,
+                         seed=3) as loader:
+            for _ in range(5):           # warm + drain the prefetch buffer
+                loader.load()
+            t0 = time.time()
+            for _ in range(N_MEAS):
+                loader.load()
+            dt_l = (time.time() - t0) / N_MEAS
+        log(f"loader-only (prefetch thread: crop+pad {BATCH} raw 110k-pt "
+            f"frames/batch, no device): {dt_l*1000:.2f} ms/step = "
+            f"{BATCH/dt_l:.1f} frames/sec host production rate "
+            f"(device rate above: {fps:.1f} fps)")
 
         # quantized transfer diet (pipeline.stream_quantized): uint16 xyz +
         # uint8 reflectance, dequantized in-graph (ops/quantize.py) — 7/16
@@ -538,10 +640,63 @@ def main():
         f"-> {cpu_dt/vox_dt:.0f}x (the reference's pure-python loop is "
         f"orders slower still)")
 
-    print(json.dumps({"metric": "e2e_fps", "value": round(fps, 2),
-                      "unit": "frames/sec",
-                      "vs_baseline": round(fps / 100.0, 3)}))
+
+def _emit_and_die(signum, frame):
+    RESULT["error"] = (f"signal {signum} (deadline/term) — emitting "
+                       f"partial results")
+    if RESULT["value"] <= 0:
+        RESULT["degraded"] = True
+    emit()
+    os._exit(0)
 
 
 if __name__ == "__main__":
-    main()
+    signal.signal(signal.SIGALRM, _emit_and_die)
+    signal.signal(signal.SIGTERM, _emit_and_die)
+    signal.alarm(int(os.environ.get("BENCH_DEADLINE", "5100")))
+
+    on_tpu = probe_tpu()
+    import jax
+    if not on_tpu:
+        RESULT.update(backend="cpu", degraded=True)
+        log("TPU backend unavailable after retries — degraded CPU fallback")
+        # env vars are NOT enough: the axon plugin registers itself at
+        # interpreter start and overrides JAX_PLATFORMS; only an in-process
+        # config update before first backend use pins CPU.
+        jax.config.update("jax_platforms", "cpu")
+    else:
+        RESULT["backend"] = "tpu"
+
+    try:
+        main(on_tpu)
+    except BaseException as e:  # noqa: BLE001 — the record must survive
+        if isinstance(e, KeyboardInterrupt):
+            RESULT["error"] = "interrupted"
+        else:
+            log(traceback.format_exc())
+            RESULT["error"] = repr(e)[:300]
+        if RESULT["value"] <= 0:
+            RESULT["degraded"] = True
+            if on_tpu and not os.environ.get("BENCH_FORCE_CPU"):
+                # TPU path died before the headline landed: one bounded
+                # CPU retry in a subprocess, passing its record through.
+                remaining = max(signal.alarm(0) - 60, 120)
+                log(f"TPU run failed pre-headline; CPU fallback "
+                    f"({remaining}s budget)")
+                try:
+                    r = subprocess.run(
+                        [sys.executable, os.path.abspath(__file__)],
+                        env={**os.environ, "BENCH_FORCE_CPU": "1",
+                             "BENCH_DEADLINE": str(remaining)},
+                        stdout=subprocess.PIPE, stderr=sys.stderr,
+                        timeout=remaining + 30)
+                    line = (r.stdout or b"").decode().strip().splitlines()
+                    if r.returncode == 0 and line:
+                        rec = json.loads(line[-1])
+                        rec["tpu_error"] = RESULT["error"]
+                        print(json.dumps(rec), flush=True)
+                        sys.exit(0)
+                except Exception as e2:
+                    log(f"CPU fallback also failed: {e2!r}")
+    emit()
+    sys.exit(0)
