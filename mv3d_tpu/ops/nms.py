@@ -119,6 +119,39 @@ def box_vote(nms_dets, all_dets):
     return out
 
 
+def greedy_nms_np(boxes, scores, iou_threshold):
+    """Pure-numpy greedy NMS — host-side twin of :func:`greedy_nms`.
+
+    Same pick order (stable descending score, lowest index wins ties, like
+    jnp.argmax) and the same division-free strict suppression rule
+    ``inter * (1 + t) > t * (area_i + area_j)``, so the keep-set matches the
+    in-graph kernel bit-for-bit on float32 inputs (tests/test_nms.py asserts
+    this). Exists because calling the jitted kernel with ``max_out =
+    len(candidates)`` retraces per distinct candidate count — a recompile
+    storm when host tooling loops it per frame.
+
+    Returns keep indices (int64 array, descending-score order).
+    """
+    import numpy as np
+    boxes = np.asarray(boxes, np.float32)
+    scores = np.asarray(scores, np.float32)
+    x1, y1, x2, y2 = boxes[:, 0], boxes[:, 1], boxes[:, 2], boxes[:, 3]
+    areas = (x2 - x1 + 1.0) * (y2 - y1 + 1.0)
+    t = np.float32(iou_threshold)
+    order = np.argsort(-scores, kind="stable")
+    keep = []
+    while order.size:
+        i = order[0]
+        keep.append(i)
+        rest = order[1:]
+        iw = np.minimum(x2[i], x2[rest]) - np.maximum(x1[i], x1[rest]) + 1.0
+        ih = np.minimum(y2[i], y2[rest]) - np.maximum(y1[i], y1[rest]) + 1.0
+        inter = np.clip(iw, 0.0, None) * np.clip(ih, 0.0, None)
+        suppress = inter * (1.0 + t) > t * (areas[i] + areas[rest])
+        order = rest[~suppress]
+    return np.asarray(keep, np.int64)
+
+
 def non_max_suppress(boxes, scores, num_classes, nms_after_thresh=0.3,
                      nms_before_score_thresh=0.05, is_box_vote=False,
                      max_per_image=100):
@@ -145,10 +178,7 @@ def non_max_suppress(boxes, scores, num_classes, nms_after_thresh=0.3,
         cls_boxes = boxes[inds, j * 4:(j + 1) * 4]
         cls_dets = np.hstack([cls_boxes, cls_scores[:, None]])
         if len(inds):
-            keep_idx, keep_mask = greedy_nms(
-                jnp.asarray(cls_boxes), jnp.asarray(cls_scores),
-                jnp.ones(len(inds), bool), nms_after_thresh, len(inds))
-            keep = np.asarray(keep_idx)[np.asarray(keep_mask)]
+            keep = greedy_nms_np(cls_boxes, cls_scores, nms_after_thresh)
             kept = cls_dets[keep]
             cls_dets = box_vote(kept, cls_dets) if is_box_vote else kept
         nms_boxes[j] = cls_dets
