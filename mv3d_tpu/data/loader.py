@@ -109,6 +109,7 @@ class BatchLoader:
         self._rng = np.random.RandomState(seed)
         self._queue: "queue.Queue" = queue.Queue(maxsize=prefetch)
         self._stop = threading.Event()
+        self._error: Optional[BaseException] = None
         self._thread = threading.Thread(target=self._worker, daemon=True)
         self._thread.start()
 
@@ -136,12 +137,32 @@ class BatchLoader:
                 if len(frames) == self.batch_size:
                     self._queue.put(frames_to_batch(frames, self.cfg))
                     frames = []
+        except BaseException as e:  # batch assembly died: surface it in
+            self._error = e         # load() instead of a silent None
         finally:
             self._queue.put(None)
 
     def load(self, timeout: Optional[float] = 60.0):
-        """Next batch dict, or None when a non-looping loader is exhausted."""
-        return self._queue.get(timeout=timeout)
+        """Next batch dict, or None when a non-looping loader is exhausted.
+
+        Raises RuntimeError (with the worker's exception chained, if any)
+        when the prefetch thread died or produced nothing within ``timeout``
+        — a stall must be loud, not an anonymous queue.Empty traceback.
+        """
+        try:
+            batch = self._queue.get(timeout=timeout)
+        except queue.Empty:
+            state = ("died" if not self._thread.is_alive() else
+                     f"stalled (no batch within {timeout}s)")
+            raise RuntimeError(
+                f"BatchLoader worker {state}: dataset len "
+                f"{len(self.dataset)}, batch_size {self.batch_size}"
+            ) from self._error
+        if batch is None and self._error is not None:
+            raise RuntimeError(
+                "BatchLoader worker died while assembling a batch"
+            ) from self._error
+        return batch
 
     def get_shape(self):
         """(top_shape, front_shape, rgb_shape) — parity with the reference
