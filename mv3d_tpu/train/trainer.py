@@ -460,7 +460,23 @@ class Trainer(MV3D):
                     it % self.debug_image_every == 0 and "points" in batch):
                 self._dump_debug_images(batch, it)
             if np.any(np.isnan(list(last.values()))):
-                raise FloatingPointError(f"NaN loss at iter {it}: {last}")
+                # Crash-save before dying: per-step checkpoint dirs mean this
+                # can never clobber the last good cadence save, and a 100k-
+                # iter run keeps its progress + forensic weights (the
+                # reference has no guard at all — a NaN propagates silently,
+                # mv3d.py:1050-1115). debug_dump records which arrays went
+                # non-finite.
+                try:
+                    self.save_weights(self.train_targets, it)
+                    save_progress(self.log_dir, self.tag, it)
+                    dump = self.debug_dump()
+                    self.log.write(f"NaN crash-save at iter {it}: weights + "
+                                   f"progress saved, stats at {dump}\n")
+                except Exception as e:  # the original error must surface
+                    self.log.write(f"NaN crash-save failed: {e}\n")
+                raise FloatingPointError(
+                    f"NaN loss at iter {it}: {last} "
+                    f"(crash checkpoint saved at step {it})")
             self.n_global_step = it + 1
             if it > 0 and it % ckpt_save_step == 0:
                 self.save_weights(self.train_targets, it)
@@ -468,6 +484,11 @@ class Trainer(MV3D):
                 self.log.write(
                     "It takes %0.2f secs to train %d iterations.\n" % (
                         timer.time_diff_per_n_loops(), ckpt_save_step))
+                try:  # refresh the static dashboard at checkpoint cadence
+                    from ..utils.dashboard import render_dashboard
+                    render_dashboard(self.log_dir)
+                except Exception as e:  # observability never kills training
+                    self.log.write(f"dashboard render failed: {e}\n")
         self.save_weights(self.train_targets, self.n_global_step)
         save_progress(self.log_dir, self.tag, self.n_global_step)
         return last

@@ -219,3 +219,40 @@ def test_render_cli(tmp_path):
     assert os.path.exists(out)
     frames = os.listdir(tmp_path / "out" / "frames")
     assert len(frames) == 2
+
+
+def test_dashboard_renders_from_metrics_jsonl(tmp_path):
+    """utils/dashboard + cli/dashboard: MetricsWriter JSONL -> standalone
+    HTML with one line chart per metric, training+validation series, and a
+    last-values table (the offline stand-in for mv3d.py:833-844 TensorBoard
+    scalars)."""
+    import os
+
+    from mv3d_tpu.cli.dashboard import main
+    from mv3d_tpu.utils.dashboard import load_metrics
+    from mv3d_tpu.utils.metrics import MetricsWriter
+
+    mw = MetricsWriter(str(tmp_path), tag="t9")
+    for it in range(25):
+        mw.write(it, {"top_cls_loss": 1.0 / (it + 1),
+                      "top_reg_loss": 2.0 / (it + 1)}, phase="training")
+        if it % 10 == 0:
+            mw.write(it, {"top_cls_loss": 1.2 / (it + 1)},
+                     phase="validation")
+    mw.close()
+
+    m = load_metrics(str(tmp_path))
+    assert set(m["t9"]) == {"top_cls_loss", "top_reg_loss"}
+    assert set(m["t9"]["top_cls_loss"]) == {"training", "validation"}
+    assert len(m["t9"]["top_cls_loss"]["training"][0]) == 25
+
+    path = main([str(tmp_path)])
+    assert path == os.path.join(str(tmp_path), "dashboard.html")
+    text = open(path).read()
+    assert text.count("<polyline") == 3      # 2 train + 1 validation series
+    assert "top_reg_loss" in text and "legend" in text
+    assert "<table>" in text                  # table view exists
+    # torn tail line of a live run must not break rendering
+    with open(mw.path, "a") as f:
+        f.write('{"step": 25, "top_cls')
+    main([str(tmp_path)])
