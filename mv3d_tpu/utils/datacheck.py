@@ -76,3 +76,32 @@ def write_split_files(train: Sequence[str], val: Sequence[str],
         f.write("\n".join(train) + "\n")
     with open(os.path.join(out_dir, "val.txt"), "w") as f:
         f.write("\n".join(val) + "\n")
+
+
+def check_kitti_object_dir(root: str, sub: str = "training",
+                           require_labels: bool = True) -> Dict:
+    """Validate a raw KITTI object-benchmark directory layout.
+
+    Checks that ``<root>/<sub>/{velodyne,image_2[,label_2]}`` exist and hold
+    the same frame-tag set (parity with the reference's per-drive file-count
+    consistency check, src/utils/check_data.py:19-49, applied to the object
+    layout the loaders consume).
+
+    Returns {'ok': bool, 'counts': {subdir: n}, 'missing': {subdir: [tags]},
+    'tags': sorted common tags}.
+    """
+    subdirs = ["velodyne", "image_2"] + (["label_2"] if require_labels else [])
+    tag_sets = {}
+    for s in subdirs:
+        d = os.path.join(root, sub, s)
+        if not os.path.isdir(d):
+            return {"ok": False, "counts": {}, "missing": {s: ["<dir absent>"]},
+                    "tags": []}
+        tag_sets[s] = {os.path.splitext(os.path.basename(f))[0]
+                       for f in os.listdir(d) if not f.startswith(".")}
+    union = set().union(*tag_sets.values())
+    missing = {s: sorted(union - t) for s, t in tag_sets.items()}
+    ok = bool(union) and all(not m for m in missing.values())
+    return {"ok": ok, "counts": {s: len(t) for s, t in tag_sets.items()},
+            "missing": missing,
+            "tags": sorted(set.intersection(*tag_sets.values()))}

@@ -291,3 +291,49 @@ def test_predictor_for_test_and_rpn_target_tester(tmp_path, rng):
     assert "positive" in t.anchors_details()
     path = t.dump_log("rpn_target")
     assert os.path.exists(path)
+
+
+def test_rehearsal_fixture_and_layout_check(tmp_path):
+    """make_fixture writes a valid KITTI object layout whose labels parse
+    back to in-grid lidar boxes; check_kitti_object_dir validates it and
+    flags a broken layout."""
+    from mv3d_tpu.cli.rehearsal import make_fixture
+    from mv3d_tpu.data.kitti import KittiObjectDataset
+    from mv3d_tpu.utils.datacheck import check_kitti_object_dir
+
+    root = make_fixture(str(tmp_path / "fx"), CFG, n_frames=3)
+    rep = check_kitti_object_dir(root)
+    assert rep["ok"] and rep["counts"] == {"velodyne": 3, "image_2": 3,
+                                           "label_2": 3}
+    ds = KittiObjectDataset(root, cfg=CFG)
+    f = ds.load_frame(1)
+    assert f.gt_labels.tolist() == [1]
+    # gt box center sits inside the dense car cluster
+    c = f.gt_boxes3d[0].mean(0)
+    near = np.abs(f.points[:, :2] - c[:2]).max(1) < 2.5
+    assert near.sum() > 1000
+
+    os.remove(os.path.join(root, "training", "velodyne", "000001.bin"))
+    rep = check_kitti_object_dir(root)
+    assert not rep["ok"] and rep["missing"]["velodyne"] == ["000001"]
+
+
+@pytest.mark.slow   # two-stage train + eval: full-system rehearsal
+def test_rehearsal_main_end_to_end(tmp_path, capsys):
+    """The one-command dress rehearsal (VERDICT r3 next-round #4): synthetic
+    fixture drive -> layout check -> two-stage schedule -> predictions ->
+    tracklet XML -> iou_per_obj.csv / pr_per_iou.csv."""
+    from mv3d_tpu.cli.rehearsal import main
+
+    cfgfile = tmp_path / "tiny.json"
+    cfgfile.write_text(json.dumps(TINY_OVERRIDES))
+    out = str(tmp_path / "rh")
+    res = main(["--synthetic-fixture", "--fixture-frames", "4", "-o", out,
+                "-i", "10", "-b", "2", "--score-threshold", "0.01",
+                "--config", str(cfgfile)])
+    assert os.path.exists(os.path.join(out, "eval", "iou_per_obj.csv"))
+    assert os.path.exists(os.path.join(out, "eval", "pr_per_iou.csv"))
+    assert "All" in res["iou_per_obj"]
+    stdout = capsys.readouterr().out
+    assert "layout check: ok=True" in stdout
+    assert "stage 2/2" in stdout
