@@ -34,6 +34,10 @@ def parse_args(argv=None):
     p.add_argument("-o", "--out-dir", default=None,
                    help="output dir (default <drive_dir>/render)")
     p.add_argument("--fps", type=int, default=15)
+    p.add_argument("--format", default="gif", choices=["gif", "avi"],
+                   help="video container: gif (PIL) or avi (MJPEG, the "
+                        "video-file counterpart of the reference's "
+                        "skvideo mp4 — no encoder in this image)")
     add_config_args(p)
     return p.parse_args(argv)
 
@@ -71,7 +75,7 @@ def render_frame(top: np.ndarray, rgb, gt_boxes3d, front, cfg) -> np.ndarray:
 
 
 def render_drive(drive_dir: str, out_dir: str, cfg=_default_cfg,
-                 fps: int = 15) -> str:
+                 fps: int = 15, fmt: str = "gif") -> str:
     from PIL import Image
 
     from ..utils.viz3d import pngs_to_gif
@@ -94,16 +98,23 @@ def render_drive(drive_dir: str, out_dir: str, cfg=_default_cfg,
                  if os.path.exists(front_file) else None)
         img = render_frame(top, rgb, gt, front, cfg)
         Image.fromarray(img).save(os.path.join(frame_dir, tag + ".png"))
-    gif = os.path.join(out_dir, os.path.basename(
-        os.path.normpath(drive_dir)) + ".gif")
-    return pngs_to_gif(frame_dir, gif, fps=fps)
+    base = os.path.join(out_dir, os.path.basename(
+        os.path.normpath(drive_dir)))
+    if fmt == "avi":
+        from ..utils.video import write_mjpeg_avi
+        pngs = sorted(glob.glob(os.path.join(frame_dir, "*.png")))
+        return write_mjpeg_avi(base + ".avi",
+                               (np.asarray(Image.open(p).convert("RGB"))
+                                for p in pngs), fps=fps)
+    return pngs_to_gif(frame_dir, base + ".gif", fps=fps)
 
 
 def main(argv=None) -> str:
     args = parse_args(argv)
     cfg = resolve_config(args)
     out_dir = args.out_dir or os.path.join(args.drive_dir, "render")
-    path = render_drive(args.drive_dir, out_dir, cfg, fps=args.fps)
+    path = render_drive(args.drive_dir, out_dir, cfg, fps=args.fps,
+                        fmt=args.format)
     print(f"wrote {path}")
     return path
 
