@@ -178,3 +178,76 @@ class KittiRawDataset:
         tag = f"{self.date}_{self.drive}_{i:05d}"
         return Frame(tag=tag, points=points, rgb=rgb,
                      gt_boxes3d=gt_boxes, gt_labels=gt_labels)
+
+
+class KittiOdometryDataset:
+    """KITTI odometry benchmark layout (clean-room counterpart of the
+    reference's pykitti odometry reader, src/kitti_data/pykitti/odometry.py
+    — not on the reference's live detection path either; provided so drive
+    sequences with ego poses load through the same Frame API).
+
+    Expects ``<root>/sequences/<seq>/{calib.txt, times.txt, velodyne/*.bin
+    [, image_2/*.png]}`` and optionally ``<root>/poses/<seq>.txt``.
+    """
+
+    def __init__(self, base_path: str, sequence: str,
+                 cfg: Config = _default_cfg):
+        self.cfg = cfg
+        self.sequence = sequence
+        self.seq_dir = os.path.join(base_path, "sequences", sequence)
+        self.pose_file = os.path.join(base_path, "poses", sequence + ".txt")
+        self.velo_files = sorted(glob.glob(
+            os.path.join(self.seq_dir, "velodyne", "*.bin")))
+        self.rgb_files = sorted(glob.glob(
+            os.path.join(self.seq_dir, "image_2", "*.png")))
+
+    def load_calib(self) -> Dict[str, np.ndarray]:
+        """calib.txt -> {'P0'..'P3': (3,4) projections, 'Tr' and
+        'T_cam2_velo': (4,4) velodyne->rectified-camera transforms,
+        'K_cam2': (3,3) intrinsics} — the rectified cam2 extrinsic composes
+        the P2 baseline shift onto Tr exactly as the reference derives it."""
+        out = {}
+        with open(os.path.join(self.seq_dir, "calib.txt")) as f:
+            for line in f:
+                if ":" not in line:
+                    continue
+                k, v = line.split(":", 1)
+                out[k.strip()] = np.fromstring(v, dtype=np.float64, sep=" ")
+        for k in ("P0", "P1", "P2", "P3"):
+            if k in out:
+                out[k] = out[k].reshape(3, 4)
+        if "Tr" in out:
+            tr = np.vstack([out["Tr"].reshape(3, 4), [0, 0, 0, 1]])
+            out["Tr"] = tr
+            if "P2" in out:
+                t2 = np.eye(4)
+                t2[0, 3] = out["P2"][0, 3] / out["P2"][0, 0]
+                out["T_cam2_velo"] = t2 @ tr
+                out["K_cam2"] = out["P2"][:3, :3]
+        return out
+
+    def load_poses(self) -> np.ndarray:
+        """poses/<seq>.txt -> (N, 4, 4) world-from-cam0 transforms; empty
+        (0, 4, 4) when ground truth is unavailable (test sequences)."""
+        if not os.path.exists(self.pose_file):
+            return np.zeros((0, 4, 4), np.float64)
+        flat = np.loadtxt(self.pose_file, dtype=np.float64).reshape(-1, 3, 4)
+        n = len(flat)
+        out = np.tile(np.eye(4, dtype=np.float64), (n, 1, 1))
+        out[:, :3, :] = flat
+        return out
+
+    def load_timestamps(self) -> np.ndarray:
+        """times.txt -> (N,) seconds (float64)."""
+        return np.loadtxt(os.path.join(self.seq_dir, "times.txt"),
+                          dtype=np.float64).reshape(-1)
+
+    def __len__(self):
+        return len(self.velo_files)
+
+    def load_frame(self, i: int) -> Frame:
+        points = read_velodyne(self.velo_files[i])
+        rgb = read_image(self.rgb_files[i]) if i < len(self.rgb_files) else None
+        return Frame(tag=f"{self.sequence}_{i:06d}", points=points, rgb=rgb,
+                     gt_boxes3d=np.zeros((0, 8, 3), np.float32),
+                     gt_labels=np.zeros(0, np.int32))

@@ -282,3 +282,45 @@ def test_batch_loader_stall_and_death_are_loud(kitti_dir):
         with pytest.raises(RuntimeError, match="died"):
             for _ in range(4):
                 bl.load(timeout=10.0)
+
+
+def test_kitti_odometry_dataset(tmp_path):
+    """KittiOdometryDataset parses the odometry-benchmark layout: calib
+    composition (T_cam2_velo = baseline-shift @ Tr), poses, timestamps, and
+    frames through the common Frame API (reference counterpart:
+    pykitti/odometry.py)."""
+    seq = tmp_path / "sequences" / "04"
+    os.makedirs(seq / "velodyne")
+    os.makedirs(tmp_path / "poses")
+    rng = np.random.RandomState(0)
+    for i in range(3):
+        pts = rng.rand(100, 4).astype(np.float32)
+        pts.tofile(seq / "velodyne" / f"{i:06d}.bin")
+    fx = 700.0
+    p_line = " ".join(str(v) for v in
+                      [fx, 0, 600, -fx * 0.54, 0, fx, 180, 0, 0, 0, 1, 0])
+    tr = "0 -1 0 0 0 0 -1 0 1 0 0 -0.1"
+    (seq / "calib.txt").write_text(
+        f"P0: {p_line}\nP1: {p_line}\nP2: {p_line}\nP3: {p_line}\nTr: {tr}\n")
+    (seq / "times.txt").write_text("0.0\n0.1\n0.2\n")
+    pose = "1 0 0 %f 0 1 0 0 0 0 1 0"
+    (tmp_path / "poses" / "04.txt").write_text(
+        "\n".join(pose % (0.5 * i) for i in range(3)) + "\n")
+
+    ds = kitti.KittiOdometryDataset(str(tmp_path), "04")
+    assert len(ds) == 3
+    f = ds.load_frame(1)
+    assert f.points.shape == (100, 4) and f.tag == "04_000001"
+
+    calib = ds.load_calib()
+    assert calib["P2"].shape == (3, 4) and calib["Tr"].shape == (4, 4)
+    # baseline shift: cam2 sits -P2[0,3]/fx along x of cam0
+    want = calib["Tr"].copy()
+    want[0, 3] += -0.54
+    np.testing.assert_allclose(calib["T_cam2_velo"], want, atol=1e-12)
+
+    poses = ds.load_poses()
+    assert poses.shape == (3, 4, 4)
+    np.testing.assert_allclose(poses[2, 0, 3], 1.0)
+    np.testing.assert_allclose(poses[:, 3], [[0, 0, 0, 1]] * 3)
+    np.testing.assert_allclose(ds.load_timestamps(), [0.0, 0.1, 0.2])
