@@ -147,3 +147,60 @@ def test_export_int8_model(variables, tmp_path):
                        jnp.asarray(rgb))
     for g, w in zip(got, want):
         np.testing.assert_array_equal(g, np.asarray(w))
+
+
+def test_serve_http_endpoint(variables, tmp_path):
+    """cli/serve: the exported artifact answers over plain HTTP — healthz
+    returns the artifact meta, and POST /predict (npz body) matches the
+    in-process predict() exactly (npz and JSON responses)."""
+    import io
+    import threading
+    import urllib.request
+
+    from mv3d_tpu.cli.serve import make_server
+
+    out = export_serving(variables, CFG, str(tmp_path / "art"), batch_size=1,
+                         score_threshold=0.0)
+    srv = make_server(out, port=0)
+    port = srv.server_address[1]
+    t = threading.Thread(target=srv.serve_forever, daemon=True)
+    t.start()
+    try:
+        with urllib.request.urlopen(
+                f"http://127.0.0.1:{port}/healthz", timeout=30) as r:
+            meta = json.loads(r.read())
+        assert meta["status"] == "ok" and meta["batch_size"] == 1
+
+        pts, _, rgb = _inputs(b=1)
+        served = load_serving(out)
+        want_boxes, want_probs = served.predict(pts[0], rgb[0])
+
+        buf = io.BytesIO()
+        np.savez_compressed(buf, points=pts[0], rgb=rgb[0])
+        req = urllib.request.Request(
+            f"http://127.0.0.1:{port}/predict", data=buf.getvalue(),
+            method="POST")
+        with urllib.request.urlopen(req, timeout=120) as r:
+            with np.load(io.BytesIO(r.read())) as z:
+                np.testing.assert_array_equal(z["boxes3d"], want_boxes)
+                np.testing.assert_array_equal(z["probs"], want_probs)
+
+        req = urllib.request.Request(
+            f"http://127.0.0.1:{port}/predict", data=buf.getvalue(),
+            method="POST", headers={"Accept": "application/json"})
+        with urllib.request.urlopen(req, timeout=120) as r:
+            got = json.loads(r.read())
+        np.testing.assert_allclose(np.asarray(got["boxes3d"], np.float32),
+                                   want_boxes, rtol=1e-6)
+
+        # malformed body -> 400 with a cause, not a hung socket
+        req = urllib.request.Request(
+            f"http://127.0.0.1:{port}/predict", data=b"not-an-npz",
+            method="POST")
+        try:
+            urllib.request.urlopen(req, timeout=30)
+            assert False, "expected HTTP 400"
+        except urllib.error.HTTPError as e:
+            assert e.code == 400 and "error" in json.loads(e.read())
+    finally:
+        srv.shutdown()
