@@ -51,6 +51,7 @@ import numpy as np
 # fixed per-step dispatch amortizes further; b64 regresses on HBM
 # pressure). Earlier knees for the record: b16 at 150.6-195.6 fps configs.
 BATCH = int(os.environ.get("BENCH_BATCH", "32"))
+LOADER_WORKERS = int(os.environ.get("BENCH_LOADER_WORKERS", "1"))
 N_WARM = 2
 N_MEAS = 12
 N_DISTINCT = 6
@@ -379,7 +380,7 @@ def main(on_tpu: bool):
         # loader does crop+pad only — aux channels are on-device here
         lcfg = dataclasses.replace(cfg, pipeline=dataclasses.replace(
             cfg.pipeline, host_aux_channels=False))
-        with BatchLoader(ds, lcfg, batch_size=BATCH, prefetch=4,
+        with BatchLoader(ds, lcfg, batch_size=BATCH, prefetch=4, workers=LOADER_WORKERS,
                          seed=3) as loader:
             stream(2, loader)                     # compile + warm
             stream(N_DISTINCT, loader)
@@ -399,7 +400,7 @@ def main(on_tpu: bool):
         # Drain the prefetch queue first so the timed loads measure the
         # worker thread's PRODUCTION rate (crop_pad over 110k-pt frames +
         # batch assembly), not queue pops.
-        with BatchLoader(ds, lcfg, batch_size=BATCH, prefetch=4,
+        with BatchLoader(ds, lcfg, batch_size=BATCH, prefetch=4, workers=LOADER_WORKERS,
                          seed=3) as loader:
             for _ in range(5):           # warm + drain the prefetch buffer
                 loader.load()
@@ -440,7 +441,7 @@ def main(on_tpu: bool):
         qcfg = dataclasses.replace(cfg, pipeline=dataclasses.replace(
             cfg.pipeline, host_aux_channels=False, stream_quantized=True))
         qstep_bytes = BATCH * (n_pts * 7 + 4 + int(np.prod(cfg.rgb_shape)))
-        with BatchLoader(ds, qcfg, batch_size=BATCH, prefetch=4,
+        with BatchLoader(ds, qcfg, batch_size=BATCH, prefetch=4, workers=LOADER_WORKERS,
                          seed=3) as loader:
             stream_q(2, loader)
             stream_q(N_DISTINCT, loader)
@@ -493,7 +494,7 @@ def main(on_tpu: bool):
                 jax.block_until_ready(outs)
 
             tstep_bytes = BATCH * (n_pts * 7 + 4)
-            with BatchLoader(ds, tcfg, batch_size=BATCH, prefetch=4,
+            with BatchLoader(ds, tcfg, batch_size=BATCH, prefetch=4, workers=LOADER_WORKERS,
                              seed=3) as loader:
                 stream_t(2, loader)
                 stream_t(N_DISTINCT, loader)

@@ -24,6 +24,8 @@ def parse_args(argv=None):
     ap.add_argument("-c", "--continue-train", action="store_true",
                     help="continue from saved progress")
     ap.add_argument("-b", "--batch-size", type=int, default=1)
+    ap.add_argument("--loader-workers", type=int, default=1,
+                    help="parallel batch-builder threads (ordered stream)")
     ap.add_argument("-l", "--lr", type=float, default=0.001)
     ap.add_argument("--kitti-object", required=True,
                     help="KITTI object dataset root")
@@ -58,8 +60,10 @@ def main(argv=None):
                                  split_file=args.val_split, cfg=cfg)
               if args.val_split else None)
 
-    with BatchLoader(train_ds, cfg, batch_size=args.batch_size) as train_loader:
-        val_loader = (BatchLoader(val_ds, cfg, batch_size=args.batch_size)
+    with BatchLoader(train_ds, cfg, batch_size=args.batch_size,
+                     workers=args.loader_workers) as train_loader:
+        val_loader = (BatchLoader(val_ds, cfg, batch_size=args.batch_size,
+                                  workers=args.loader_workers)
                       if val_ds else None)
         try:
             trainer = Trainer(

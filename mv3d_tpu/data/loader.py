@@ -96,11 +96,21 @@ def frames_to_batch(frames: Sequence[Frame], cfg: Config = _default_cfg
 
 class BatchLoader:
     """Shuffling, prefetching batch loader over any dataset with
-    ``load_frame(i) -> Frame`` and ``__len__``."""
+    ``load_frame(i) -> Frame`` and ``__len__``.
+
+    ``workers`` threads each build WHOLE batches (file reads + crop/pad +
+    assembly) in parallel and a ticket sequencer emits them in index order,
+    so for a given seed the batch stream is identical to the single-worker
+    stream (asserted by tests/test_data.py) while the host side scales with
+    threads — numpy/PIL and the native C++ crop all release the GIL. The
+    reference scales its loaders with whole OS processes and pickled Queue
+    IPC (batch_loading.py:951); batches here stay in shared memory.
+    """
 
     def __init__(self, dataset, cfg: Config = _default_cfg,
                  batch_size: int = 1, shuffle: bool = True,
-                 prefetch: int = 4, seed: int = 0, loop: bool = True):
+                 prefetch: int = 4, seed: int = 0, loop: bool = True,
+                 workers: int = 1):
         self.dataset = dataset
         self.cfg = cfg
         self.batch_size = batch_size
@@ -110,8 +120,16 @@ class BatchLoader:
         self._queue: "queue.Queue" = queue.Queue(maxsize=prefetch)
         self._stop = threading.Event()
         self._error: Optional[BaseException] = None
-        self._thread = threading.Thread(target=self._worker, daemon=True)
-        self._thread.start()
+        self._lock = threading.Lock()          # index stream + tickets
+        self._index_iter = self._indices()
+        self._next_ticket = 0
+        self._emit_cv = threading.Condition()  # ordered emission
+        self._emit_ticket = 0
+        self._live = max(1, int(workers))
+        self._threads = [threading.Thread(target=self._worker, daemon=True)
+                         for _ in range(self._live)]
+        for t in self._threads:
+            t.start()
 
     def _indices(self) -> Iterator[int]:
         while True:
@@ -122,38 +140,97 @@ class BatchLoader:
             if not self.loop:
                 return
 
-    def _worker(self):
-        frames: List[Frame] = []
-        try:
-            for i in self._indices():
+    def _take_group(self):
+        """Claim the next batch's frame indices + its emission ticket."""
+        with self._lock:
+            idxs = [i for _, i in zip(range(self.batch_size),
+                                      self._index_iter)]
+            if len(idxs) < self.batch_size:   # exhausted (non-loop): the
+                return None, None             # trailing partial batch drops,
+            t = self._next_ticket             # matching the 1-worker path
+            self._next_ticket += 1
+            return t, idxs
+
+    def _take_replacement(self):
+        with self._lock:
+            return next(self._index_iter, None)
+
+    def _skip_ticket(self, ticket):
+        """Abandon a claimed ticket (stream ran dry mid-batch) so workers
+        holding later tickets don't wait on it forever."""
+        with self._emit_cv:
+            while self._emit_ticket != ticket:
                 if self._stop.is_set():
                     return
+                self._emit_cv.wait(timeout=0.5)
+            self._emit_ticket += 1
+            self._emit_cv.notify_all()
+
+    def _put_ordered(self, ticket, batch) -> bool:
+        with self._emit_cv:
+            while self._emit_ticket != ticket:
+                if self._stop.is_set():
+                    return False
+                self._emit_cv.wait(timeout=0.5)
+            while not self._stop.is_set():
                 try:
-                    frames.append(self.dataset.load_frame(int(i)))
-                except Exception as e:  # damaged frame: skip (the reference
-                    # loaders print 'GG' and reshuffle, batch_loading.py:681-688)
-                    print(f"loader: skipping frame {i}: {e}")
+                    self._queue.put(batch, timeout=0.5)
+                    break
+                except queue.Full:
                     continue
-                if len(frames) == self.batch_size:
-                    self._queue.put(frames_to_batch(frames, self.cfg))
-                    frames = []
+            self._emit_ticket += 1
+            self._emit_cv.notify_all()
+            return not self._stop.is_set()
+
+    def _worker(self):
+        try:
+            while not self._stop.is_set():
+                ticket, idxs = self._take_group()
+                if ticket is None:
+                    return
+                frames: List[Frame] = []
+                for i in idxs:
+                    while i is not None and not self._stop.is_set():
+                        try:
+                            frames.append(self.dataset.load_frame(int(i)))
+                            break
+                        except Exception as e:  # damaged frame: skip + pull
+                            # a replacement (the reference loaders print
+                            # 'GG' and reshuffle, batch_loading.py:681-688)
+                            print(f"loader: skipping frame {i}: {e}")
+                            i = self._take_replacement()
+                if len(frames) < self.batch_size:
+                    self._skip_ticket(ticket)   # stream ran dry mid-batch
+                    return
+                if not self._put_ordered(ticket,
+                                         frames_to_batch(frames, self.cfg)):
+                    return
         except BaseException as e:  # batch assembly died: surface it in
             self._error = e         # load() instead of a silent None
+            with self._emit_cv:     # release peers waiting on our ticket
+                self._stop.set()
+                self._emit_cv.notify_all()
         finally:
-            self._queue.put(None)
+            with self._lock:
+                self._live -= 1
+                last = self._live == 0
+            if last:
+                self._queue.put(None)
 
     def load(self, timeout: Optional[float] = 60.0):
         """Next batch dict, or None when a non-looping loader is exhausted.
 
         Raises RuntimeError (with the worker's exception chained, if any)
-        when the prefetch thread died or produced nothing within ``timeout``
-        — a stall must be loud, not an anonymous queue.Empty traceback.
+        when the prefetch threads died or produced nothing within
+        ``timeout`` — a stall must be loud, not an anonymous queue.Empty
+        traceback.
         """
         try:
             batch = self._queue.get(timeout=timeout)
         except queue.Empty:
-            state = ("died" if not self._thread.is_alive() else
-                     f"stalled (no batch within {timeout}s)")
+            alive = any(t.is_alive() for t in self._threads)
+            state = (f"stalled (no batch within {timeout}s)" if alive
+                     else "died")
             raise RuntimeError(
                 f"BatchLoader worker {state}: dataset len "
                 f"{len(self.dataset)}, batch_size {self.batch_size}"

@@ -324,3 +324,54 @@ def test_kitti_odometry_dataset(tmp_path):
     np.testing.assert_allclose(poses[2, 0, 3], 1.0)
     np.testing.assert_allclose(poses[:, 3], [[0, 0, 0, 1]] * 3)
     np.testing.assert_allclose(ds.load_timestamps(), [0.0, 0.1, 0.2])
+
+
+def test_batch_loader_workers_identical_stream(kitti_dir):
+    """workers=3 produces the exact same ordered batch stream as workers=1
+    for a given seed (ticket sequencer) — parallelism must not change what
+    the model trains on."""
+    ds = kitti.KittiObjectDataset(kitti_dir, cfg=CFG)
+
+    def stream(workers):
+        out = []
+        with loader.BatchLoader(ds, CFG, batch_size=2, shuffle=True, seed=5,
+                                loop=False, workers=workers) as bl:
+            while True:
+                b = bl.load(timeout=60)
+                if b is None:
+                    break
+                out.append((tuple(b["tags"]), b["points"].sum()))
+        return out
+
+    one = stream(1)
+    three = stream(3)
+    assert len(one) >= 1
+    assert one == three
+
+
+def test_batch_loader_workers_skip_damaged(kitti_dir):
+    """With workers > 1, a damaged frame is skipped and replaced from the
+    shared index stream; every emitted batch is full-size and the loader
+    terminates cleanly (trailing partials drop, as in the 1-worker path)."""
+    base = kitti.KittiObjectDataset(kitti_dir, cfg=CFG)
+
+    class Flaky:
+        def __len__(self):
+            return 6
+
+        def load_frame(self, i):
+            if i == 1:
+                raise IOError("corrupt frame")
+            return base.load_frame(i % 3)
+
+    with loader.BatchLoader(Flaky(), CFG, batch_size=2, shuffle=False,
+                            loop=False, workers=2) as bl:
+        got = []
+        while True:
+            b = bl.load(timeout=60)
+            if b is None:
+                break
+            got.append(b)
+    # 6 indices, 1 damaged -> 5 good frames -> 2 full batches, partial drops
+    assert len(got) == 2
+    assert all(b["points"].shape[0] == 2 for b in got)
