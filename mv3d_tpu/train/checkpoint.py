@@ -81,6 +81,29 @@ class SubnetCheckpointer:
             np.savez_compressed(f, **flat)
         os.replace(tmp, self._path(step))
 
+    def save_crash(self, variables) -> str:
+        """Forensic crash checkpoint at ``<name>-crash.npz``.
+
+        The "crash" suffix is deliberately non-numeric so ``latest_step()``
+        never selects it: a NaN crash usually means the post-update weights
+        are themselves NaN-poisoned (loss -> grad -> apply_updates), and a
+        resume must come from the last *good* cadence checkpoint, not the
+        poisoned state. Orbax backend saves a sibling ``<name>-crash.orbax``
+        directory the same way."""
+        suffix = ".npz" if self.backend == "npz" else ".orbax"
+        path = os.path.join(self.dir, f"{self.name}-crash{suffix}")
+        if self.backend == "orbax":
+            import orbax.checkpoint as ocp
+            with ocp.StandardCheckpointer() as ckptr:
+                ckptr.save(os.path.abspath(path), variables, force=True)
+            return path
+        flat = _flatten(jax.device_get(variables))
+        tmp = path + ".tmp"
+        with open(tmp, "wb") as f:
+            np.savez_compressed(f, **flat)
+        os.replace(tmp, path)
+        return path
+
     def latest_step(self) -> Optional[int]:
         suffix = ".npz" if self.backend == "npz" else ".orbax"
         steps = []

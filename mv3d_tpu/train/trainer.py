@@ -460,23 +460,27 @@ class Trainer(MV3D):
                     it % self.debug_image_every == 0 and "points" in batch):
                 self._dump_debug_images(batch, it)
             if np.any(np.isnan(list(last.values()))):
-                # Crash-save before dying: per-step checkpoint dirs mean this
-                # can never clobber the last good cadence save, and a 100k-
-                # iter run keeps its progress + forensic weights (the
-                # reference has no guard at all — a NaN propagates silently,
-                # mv3d.py:1050-1115). debug_dump records which arrays went
-                # non-finite.
+                # Forensic crash-save before dying (the reference has no
+                # guard at all — a NaN propagates silently, mv3d.py:1050-
+                # 1115). A NaN loss almost always means the post-update
+                # weights of every trained target are themselves poisoned
+                # (loss -> grad -> apply_updates), so the crash state goes
+                # to <subnet>-crash.npz — a name latest_step() never selects
+                # — and progress is NOT repointed: continue_train resumes
+                # from the last good cadence checkpoint, not the NaN one.
+                # debug_dump records which arrays went non-finite.
                 try:
-                    self.save_weights(self.train_targets, it)
-                    save_progress(self.log_dir, self.tag, it)
+                    paths = [self.checkpointers[n].save_crash(
+                        self.variables[n]) for n in self.train_targets]
                     dump = self.debug_dump()
-                    self.log.write(f"NaN crash-save at iter {it}: weights + "
-                                   f"progress saved, stats at {dump}\n")
+                    self.log.write(f"NaN crash-save at iter {it}: forensic "
+                                   f"weights at {paths}, stats at {dump}\n")
                 except Exception as e:  # the original error must surface
                     self.log.write(f"NaN crash-save failed: {e}\n")
                 raise FloatingPointError(
                     f"NaN loss at iter {it}: {last} "
-                    f"(crash checkpoint saved at step {it})")
+                    f"(forensic crash checkpoint saved; resume uses the "
+                    f"last good cadence checkpoint)")
             self.n_global_step = it + 1
             if it > 0 and it % ckpt_save_step == 0:
                 self.save_weights(self.train_targets, it)

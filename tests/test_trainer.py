@@ -382,36 +382,87 @@ def test_continue_train_resumes_step_and_weights(tmp_path, dataset):
 
 
 def test_nan_crash_save_and_restore(tmp_path, dataset):
-    """A NaN loss mid-run crash-saves weights + progress before raising, and
-    a fresh Trainer restores from that crash checkpoint (VERDICT r3 weak #7;
-    the reference saves nothing on a NaN, mv3d.py:1050-1115)."""
+    """A NaN loss mid-run writes a forensic <subnet>-crash.npz before
+    raising, does NOT repoint progress, and continue_train resumes from the
+    last GOOD cadence checkpoint (the reference saves nothing on a NaN,
+    mv3d.py:1050-1115)."""
     from mv3d_tpu.train.checkpoint import load_progress
 
     tr = Trainer(dataset, train_targets=[TOP_VIEW_RPN], cfg=CFG,
                  log_tag="nan", checkpoint_dir=str(tmp_path / "c"),
                  log_dir=str(tmp_path / "l"))
+    tr(3)       # clean warmup: good weights + progress saved at step 3
+    good = jax.tree.map(np.asarray, tr.variables[TOP_VIEW_RPN])
+
     real_fit = tr.fit_iteration
-    calls = {"n": 0}
 
     def poisoned(batch, is_validation=False):
         out = dict(real_fit(batch, is_validation=is_validation))
-        calls["n"] += 1
-        if calls["n"] >= 3:
-            out["top_cls_loss"] = float("nan")
+        out["top_cls_loss"] = float("nan")
         return out
 
     tr.fit_iteration = poisoned
     with pytest.raises(FloatingPointError, match="crash checkpoint"):
         tr(max_iter=10)
 
-    crash_step = calls["n"] - 1
-    assert load_progress(str(tmp_path / "l"), "nan") == crash_step
-    # continue_train resumes from the crash checkpoint (a fresh trainer with
-    # continue_train=False would clean_weights the dir — by design)
+    # forensic file exists, but it is invisible to latest_step()/progress
+    crash = (tmp_path / "c" / "nan" / TOP_VIEW_RPN /
+             f"{TOP_VIEW_RPN}-crash.npz")
+    assert crash.exists()
+    assert load_progress(str(tmp_path / "l"), "nan") == 3
+    assert tr.checkpointers[TOP_VIEW_RPN].latest_step() == 3
+
     tr2 = Trainer(dataset, train_targets=[TOP_VIEW_RPN], cfg=CFG,
                   log_tag="nan", checkpoint_dir=str(tmp_path / "c"),
                   log_dir=str(tmp_path / "l"), continue_train=True)
-    assert tr2.n_global_step == crash_step
+    assert tr2.n_global_step == 3
     got = jax.tree.map(np.asarray, tr2.variables[TOP_VIEW_RPN])
-    want = jax.tree.map(np.asarray, tr.variables[TOP_VIEW_RPN])
-    jax.tree.map(np.testing.assert_array_equal, got, want)
+    jax.tree.map(np.testing.assert_array_equal, got, good)
+
+
+def test_nan_gradients_resume_finite(tmp_path, dataset):
+    """The REAL NaN failure mode: a poisoned batch NaNs the loss, the
+    gradients, and (through apply_updates) the trained weights themselves.
+    Resume must come back with finite weights — the last good cadence save —
+    not the poisoned state (ADVICE r4 medium: the old crash-save stored
+    post-update weights and repointed progress at them)."""
+
+    class PoisonableDataset:
+        def __init__(self, batch):
+            self.batch = batch
+            self.poison = False
+
+        def load(self):
+            b = dict(self.batch)
+            if self.poison:
+                b["top"] = np.full_like(np.asarray(b["top"]), np.nan)
+            return b
+
+        def get_shape(self):
+            return CFG.top_shape, CFG.front_shape, CFG.rgb_shape
+
+    ds = PoisonableDataset(dataset.load())
+    tr = Trainer(ds, train_targets=[TOP_VIEW_RPN], cfg=CFG,
+                 log_tag="nangrad", checkpoint_dir=str(tmp_path / "c"),
+                 log_dir=str(tmp_path / "l"))
+    tr(2)       # good weights + progress at step 2
+    good = jax.tree.map(np.asarray, tr.variables[TOP_VIEW_RPN])
+
+    ds.poison = True
+    with pytest.raises(FloatingPointError, match="crash checkpoint"):
+        tr(max_iter=10)
+
+    # the live trainer weights really are poisoned — the scenario is real
+    live = np.concatenate([np.ravel(x) for x in jax.tree_util.tree_leaves(
+        jax.tree.map(np.asarray, tr.variables[TOP_VIEW_RPN]["params"]))])
+    assert not np.all(np.isfinite(live))
+
+    tr2 = Trainer(ds, train_targets=[TOP_VIEW_RPN], cfg=CFG,
+                  log_tag="nangrad", checkpoint_dir=str(tmp_path / "c"),
+                  log_dir=str(tmp_path / "l"), continue_train=True)
+    assert tr2.n_global_step == 2
+    restored = jax.tree.map(np.asarray, tr2.variables[TOP_VIEW_RPN])
+    jax.tree.map(np.testing.assert_array_equal, restored, good)
+    flat = np.concatenate([np.ravel(x) for x in jax.tree_util.tree_leaves(
+        restored["params"])])
+    assert np.all(np.isfinite(flat))
