@@ -120,6 +120,7 @@ class BatchLoader:
         self._queue: "queue.Queue" = queue.Queue(maxsize=prefetch)
         self._stop = threading.Event()
         self._error: Optional[BaseException] = None
+        self._finished = False                 # all workers exited cleanly
         self._lock = threading.Lock()          # index stream + tickets
         self._index_iter = self._indices()
         self._next_ticket = 0
@@ -215,19 +216,26 @@ class BatchLoader:
                 self._live -= 1
                 last = self._live == 0
             if last:
+                if self._error is None:
+                    self._finished = True   # clean exhaustion, not a death
                 self._queue.put(None)
 
     def load(self, timeout: Optional[float] = 60.0):
-        """Next batch dict, or None when a non-looping loader is exhausted.
+        """Next batch dict, or None when a non-looping loader is exhausted
+        (every call after exhaustion keeps returning None).
 
         Raises RuntimeError (with the worker's exception chained, if any)
         when the prefetch threads died or produced nothing within
         ``timeout`` — a stall must be loud, not an anonymous queue.Empty
         traceback.
         """
+        if self._finished and self._queue.empty():
+            return None             # exhausted on a previous call
         try:
             batch = self._queue.get(timeout=timeout)
         except queue.Empty:
+            if self._finished:      # all workers already exited cleanly:
+                return None         # plain exhaustion, not a stall/death
             alive = any(t.is_alive() for t in self._threads)
             state = (f"stalled (no batch within {timeout}s)" if alive
                      else "died")

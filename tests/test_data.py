@@ -284,6 +284,26 @@ def test_batch_loader_stall_and_death_are_loud(kitti_dir):
                 bl.load(timeout=10.0)
 
 
+def test_batch_loader_exhaustion_stays_none(kitti_dir):
+    """A non-looping loader returns None at exhaustion and KEEPS returning
+    None on later calls — quickly and without raising (ADVICE r4: load()
+    after the terminal None used to misattribute plain exhaustion to a
+    'stalled'/'died' worker)."""
+    import time
+
+    ds = kitti.KittiObjectDataset(kitti_dir, cfg=CFG)
+    with loader.BatchLoader(ds, CFG, batch_size=2, shuffle=False,
+                            loop=False) as bl:
+        n = 0
+        while bl.load(timeout=30.0) is not None:
+            n += 1
+        assert n >= 1
+        t0 = time.time()
+        assert bl.load(timeout=30.0) is None
+        assert bl.load(timeout=30.0) is None
+        assert time.time() - t0 < 5.0, "post-exhaustion load() must not block"
+
+
 def test_kitti_odometry_dataset(tmp_path):
     """KittiOdometryDataset parses the odometry-benchmark layout: calib
     composition (T_cam2_velo = baseline-shift @ Tr), poses, timestamps, and
