@@ -212,7 +212,7 @@ class KittiOdometryDataset:
                 if ":" not in line:
                     continue
                 k, v = line.split(":", 1)
-                out[k.strip()] = np.fromstring(v, dtype=np.float64, sep=" ")
+                out[k.strip()] = np.array(v.split(), dtype=np.float64)
         for k in ("P0", "P1", "P2", "P3"):
             if k in out:
                 out[k] = out[k].reshape(3, 4)

@@ -114,6 +114,8 @@ def load_metrics(log_dir: str) -> Dict[str, Dict[str, Dict[str, list]]]:
                 except ValueError:
                     continue  # torn tail write of a live run
                 step = rec.get("step")
+                if step is None:    # a stepless record would poison _chart's
+                    continue        # min()/arithmetic over the steps list
                 phase = rec.get("phase", "training")
                 for k, v in rec.items():
                     if k in ("step", "time", "phase") or not isinstance(

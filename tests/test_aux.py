@@ -265,6 +265,14 @@ def test_dashboard_renders_from_metrics_jsonl(tmp_path):
         f.write('{"step": 25, "top_cls')
     main([str(tmp_path)])
 
+    # a stepless record (numeric metrics, no "step" key) must be skipped,
+    # not poison _chart's min()/arithmetic (ADVICE r4)
+    with open(mw.path, "a") as f:
+        f.write('\n{"top_cls_loss": 0.5, "phase": "training"}\n')
+    m2 = load_metrics(str(tmp_path))
+    assert len(m2["t9"]["top_cls_loss"]["training"][0]) == 25
+    main([str(tmp_path)])
+
 
 def test_mjpeg_avi_writer_roundtrip(tmp_path):
     """utils/video.write_mjpeg_avi produces a structurally valid MJPEG AVI
