@@ -90,8 +90,35 @@ def replicate(tree, mesh: Mesh):
     return jax.device_put(tree, s)
 
 
+def batch_divisor(mesh: Mesh) -> int:
+    """Number of ways the leading batch axis is split on this mesh."""
+    spec = _batch_spec(mesh)
+    entry = spec[0] if len(spec) else None
+    if entry is None:
+        return 1
+    # PartitionSpec normalizes a 1-tuple entry to the bare axis name
+    axes = (entry,) if isinstance(entry, str) else tuple(entry)
+    return int(np.prod([mesh.shape[a] for a in axes]) if axes else 1)
+
+
+def check_batch_divisible(batch: Dict[str, Any], mesh: Mesh):
+    """Raise a clear ValueError when a batch can't shard over the mesh.
+
+    Without this the failure mode is an XLA sharding error deep inside jit
+    ("sharding ... is not divisible") long after the user's mistake."""
+    n = batch_divisor(mesh)
+    for k, v in batch.items():
+        if hasattr(v, "shape") and np.ndim(v) and v.shape[0] % n:
+            raise ValueError(
+                f"batch axis of '{k}' has size {v.shape[0]}, not divisible "
+                f"by the mesh's {n}-way data sharding "
+                f"(mesh {dict(mesh.shape)}); pad or rebatch so that "
+                f"batch % {n} == 0")
+
+
 def shard_batch(batch: Dict[str, Any], mesh: Mesh):
     """Shard every batch array along its leading (batch) axis."""
+    check_batch_divisible(batch, mesh)
     s = NamedSharding(mesh, _batch_spec(mesh))
     return {k: (jax.device_put(v, s) if hasattr(v, "shape") else v)
             for k, v in batch.items()}

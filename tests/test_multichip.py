@@ -139,3 +139,25 @@ def test_hybrid_dcn_mesh_train_and_infer():
     _, _, losses = step(hv, opt_state, batch, jax.random.PRNGKey(1))
     for k, v in losses.items():
         assert np.isfinite(float(v)), k
+
+
+def test_uneven_batch_raises_clear_error():
+    """batch % mesh != 0 must fail loudly BEFORE jit with an actionable
+    message, not as an XLA sharding error deep inside compilation
+    (VERDICT r4 next-round #5c)."""
+    import __graft_entry__ as ge
+    from mv3d_tpu.parallel.mesh import (batch_divisor, check_batch_divisible,
+                                        make_mesh, shard_batch)
+
+    mesh = make_mesh(4)
+    assert batch_divisor(mesh) == 4
+    pts = np.zeros((6, 32, 4), np.float32)   # 6 % 4 != 0
+    with pytest.raises(ValueError, match="divisible"):
+        shard_batch({"points": pts}, mesh)
+    with pytest.raises(ValueError, match="points"):
+        check_batch_divisible({"points": pts}, mesh)
+    # divisible batches pass through untouched
+    ok = shard_batch({"points": np.zeros((8, 32, 4), np.float32)}, mesh)
+    assert ok["points"].shape == (8, 32, 4)
+    # scalars / non-arrays are ignored by the check
+    check_batch_divisible({"n": 3, "tag": "x"}, mesh)
