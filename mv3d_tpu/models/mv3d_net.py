@@ -32,7 +32,7 @@ from ..ops.anchors import (anchor_setup,
                            non_empty_anchor_mask_structured)
 from ..ops.detect import Detections, rcnn_nms
 from ..ops.proposal import Proposals, rpn_proposals
-from ..ops.roi_align import roi_align
+from ..ops.roi_align import roi_align, roi_align_matmul
 from ..train import losses as loss_lib
 from ..train import targets as target_lib
 from .nets import (FRONT_FEATURE, FUSION, IMAGE_FEATURE, SUBNET_NAMES,
@@ -260,12 +260,14 @@ class MV3DNet:
         cfg = self.cfg
         m = cfg.model
         pooled = m.roi_pool_size
+        align = (roi_align_matmul if m.roi_align_impl == "matmul"
+                 else roi_align)
 
         def pool(name, rois):
-            out = {name: roi_align(feats[name], rois,
-                                   1.0 / m.pool_stride(name), pooled)}
+            out = {name: align(feats[name], rois,
+                               1.0 / m.pool_stride(name), pooled)}
             if m.use_siamese_fusion:
-                out[name + "_ctx"] = roi_align(
+                out[name + "_ctx"] = align(
                     feats[name], enlarge_rois(rois, m.roi_enlarge_ratio),
                     1.0 / m.pool_stride(name), pooled)
             return out

@@ -51,9 +51,9 @@ def _bilinear_sample(features: jnp.ndarray, ys: jnp.ndarray, xs: jnp.ndarray
             f10 * wy1 * (1 - wx1) + f11 * wy1 * wx1)
 
 
-def _tap_grid(rois: jnp.ndarray, spatial_scale: float,
+def _tap_axes(rois: jnp.ndarray, spatial_scale: float,
               pooled: Tuple[int, int], samples: int):
-    """Sampling tap coordinates: (N, ph, pw, s, s) ys/xs in feature cells."""
+    """Separable tap coordinates: ys (N, ph, s) and xs (N, pw, s)."""
     ph, pw = pooled
     x1 = rois[:, 0] * spatial_scale
     y1 = rois[:, 1] * spatial_scale
@@ -74,6 +74,14 @@ def _tap_grid(rois: jnp.ndarray, spatial_scale: float,
           (py[None, :, None] + iy[None, None, :]) * bin_h[:, None, None])
     xs = (x1[:, None, None] +
           (px[None, :, None] + iy[None, None, :]) * bin_w[:, None, None])
+    return ys, xs
+
+
+def _tap_grid(rois: jnp.ndarray, spatial_scale: float,
+              pooled: Tuple[int, int], samples: int):
+    """Sampling tap coordinates: (N, ph, pw, s, s) ys/xs in feature cells."""
+    ph, pw = pooled
+    ys, xs = _tap_axes(rois, spatial_scale, pooled, samples)
     # broadcast to (N, ph, pw, s, s)
     ys_full = ys[:, :, None, :, None]
     xs_full = xs[:, None, :, None, :]
@@ -89,6 +97,53 @@ def roi_align(features: jnp.ndarray, rois: jnp.ndarray, spatial_scale: float,
     ys, xs = _tap_grid(rois, spatial_scale, pooled, samples)
     vals = _bilinear_sample(features, ys, xs)           # (N, ph, pw, s, s, C)
     return jnp.mean(vals, axis=(3, 4))
+
+
+def roi_align_matmul(features: jnp.ndarray, rois: jnp.ndarray,
+                     spatial_scale: float,
+                     pooled: Tuple[int, int] = (6, 6),
+                     samples: int = 2) -> jnp.ndarray:
+    """ROI-align re-expressed as separable weight-matrix contractions — the
+    gathers become MXU matmuls (the canonical TPU reformulation).
+
+    Bilinear sampling at tap y is exactly ``sum_h relu(1 - |y - h|) * F[h]``
+    for in-range taps, and the tap grid is separable in y/x, so the whole
+    align is two einsums with dense weight matrices built from the tap
+    coordinates:
+
+        B[n,p,s,w,c]  = sum_h  WY[n,p,s,h] * F[h,w,c]     (the big one)
+        out[n,p,q,c]  = mean_{s,t} sum_w WX[n,q,t,w] * B[n,p,s,w,c]
+
+    Cost on the full KITTI map (stride-8 top view, R=128 rois, 6x6 bins,
+    2x2 taps, C=128): ~0.8 GFLOP/view/frame of bf16 MXU work replacing a
+    measured 0.38 ms/frame of XLA gather time for the 6-view align
+    (tools/profile_net_stages.py ``cheap-roi`` delta, round 5).
+
+    Numerics: identical to :func:`roi_align` for taps inside [0, dim-1]
+    (tested); out-of-range taps are CLAMPED to the edge first, where the
+    gather formulation extrapolates with the fractional weight — a
+    sub-cell boundary deviation on edge-touching ROIs only. Autodiff works
+    through both einsums (linear in F).
+    """
+    ph, pw = pooled
+    h, w = features.shape[0], features.shape[1]
+    ys, xs = _tap_axes(rois, spatial_scale, pooled, samples)
+    ys = jnp.clip(ys, 0.0, float(h - 1))
+    xs = jnp.clip(xs, 0.0, float(w - 1))
+    dtype = features.dtype
+    wy = jnp.maximum(0.0, 1.0 - jnp.abs(
+        ys[..., None] - jnp.arange(h, dtype=ys.dtype))).astype(dtype)
+    wx = jnp.maximum(0.0, 1.0 - jnp.abs(
+        xs[..., None] - jnp.arange(w, dtype=xs.dtype))).astype(dtype)
+    # HIGHEST: exact for f32 tests; for the model's bf16 features it is the
+    # MXU's native bf16-multiply/f32-accumulate mode (no extra passes)
+    big = jnp.einsum("npsh,hwc->npswc", wy, features,
+                     preferred_element_type=dtype,
+                     precision=jax.lax.Precision.HIGHEST)
+    out = jnp.einsum("nqtw,npswc->npqstc", wx, big,
+                     preferred_element_type=dtype,
+                     precision=jax.lax.Precision.HIGHEST)
+    return jnp.mean(out, axis=(3, 4))
 
 
 def roi_pool_max(features: jnp.ndarray, rois: jnp.ndarray, spatial_scale: float,

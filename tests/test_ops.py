@@ -214,6 +214,42 @@ def test_roi_pool_max_vs_align():
     assert np.all(mx >= av - 1e-6)
 
 
+def test_roi_align_matmul_parity():
+    """roi_align_matmul (separable weight-matrix einsums on the MXU —
+    model.roi_align_impl='matmul') matches the gather formulation to float
+    tolerance for in-range ROIs, and its gradient flows (it is linear in
+    the features)."""
+    import jax
+
+    rng = np.random.RandomState(7)
+    H, W, C = 40, 30, 16
+    feat = jnp.asarray(rng.rand(H, W, C).astype(np.float32))
+    rois = []
+    for _ in range(24):
+        x1 = rng.uniform(0, 8 * (W - 10))
+        y1 = rng.uniform(0, 8 * (H - 10))
+        rois.append([x1, y1, x1 + rng.uniform(16, 60),
+                     y1 + rng.uniform(16, 60)])
+    rois = jnp.asarray(np.array(rois, np.float32))
+    a = np.asarray(roi_align.roi_align(feat, rois, 1 / 8.0, (6, 6), 2))
+    b = np.asarray(roi_align.roi_align_matmul(feat, rois, 1 / 8.0,
+                                              (6, 6), 2))
+    np.testing.assert_allclose(a, b, atol=2e-6)
+
+    g = jax.grad(lambda f: roi_align.roi_align_matmul(
+        f, rois, 1 / 8.0, (6, 6), 2).sum())(feat)
+    assert g.shape == feat.shape and float(jnp.abs(g).sum()) > 0
+
+    # edge-touching ROIs: the matmul form clamps taps to the map edge (the
+    # documented sub-cell deviation) but stays finite and close
+    edge = jnp.asarray(np.array([[-8.0, -8.0, 40.0, 40.0]], np.float32))
+    ae = np.asarray(roi_align.roi_align(feat, edge, 1 / 8.0, (6, 6), 2))
+    be = np.asarray(roi_align.roi_align_matmul(feat, edge, 1 / 8.0,
+                                               (6, 6), 2))
+    assert np.isfinite(be).all()
+    assert np.abs(ae - be).max() < 1.0
+
+
 def test_roi_align_differentiable():
     feat = jnp.ones((20, 20, 2))
     rois = jnp.array([[2.0, 2.0, 15.0, 15.0]])

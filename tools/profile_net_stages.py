@@ -39,6 +39,12 @@ def main():
     ap.add_argument("--batch", type=int, default=8)
     ap.add_argument("--iters", type=int, default=12)
     ap.add_argument("--distinct", type=int, default=6)
+    ap.add_argument("--only", default="",
+                    help="comma list of variant names to run (always "
+                         "include 'full' for the delta base)")
+    ap.add_argument("--roi-matmul", action="store_true",
+                    help="run with model.roi_align_impl='matmul' (compare "
+                         "a --only full run against the default)")
     args = ap.parse_args()
 
     import jax
@@ -57,6 +63,9 @@ def main():
     base = kitti_config()
     cfg = dataclasses.replace(base, pipeline=dataclasses.replace(
         base.pipeline, use_pallas_fused=on_tpu, use_pallas_heights=on_tpu))
+    if args.roi_matmul:
+        cfg = dataclasses.replace(cfg, model=dataclasses.replace(
+            cfg.model, roi_align_impl="matmul"))
     model = MV3DNet(cfg)
     variables = jax.jit(model.init_variables)(jax.random.PRNGKey(0))
     jax.block_until_ready(variables)
@@ -74,7 +83,7 @@ def main():
     def forward(variables, top, rgb, front, *, occ=None, no_rcnn_nms=False,
                 no_fusion=False, no_proposal=False, no_anchmask=False,
                 traced_ones_mask=False, no_interleave=False,
-                rpn_only=False):
+                rpn_only=False, cheap_roi=False):
         """forward_inference with stage toggles (mirrors mv3d_net.py)."""
         if rpn_only:
             rpn_out = model.top_rpn.apply(variables[M.TOP_VIEW_RPN], top,
@@ -138,6 +147,19 @@ def main():
                 feats["front"] = feat_front_i
             if no_fusion or rpn_only:
                 pooled = None
+            elif cheap_roi:
+                # shape-identical pooled features from a STATIC slice (no
+                # data-dependent gathers), with a per-roi dependence so XLA
+                # cannot collapse the downstream tower/fusion compute:
+                # delta vs full == cost of the bilinear roi_align gathers
+                ph, pw = cfg.model.roi_pool_size
+                jitter = props.scores[:, None, None, None] * 1e-3
+                pooled = {}
+                for nm, ft in feats.items():
+                    base = ft[:ph, :pw, :][None]
+                    pooled[nm] = base + jitter
+                    if cfg.model.use_siamese_fusion:
+                        pooled[nm + "_ctx"] = base + jitter * 2.0
             else:
                 pooled = model.pool_rois(feats, rois3d, props.rois[:, 1:5])
             return props, rois3d, pooled
@@ -178,12 +200,16 @@ def main():
         ("full", {}),
         ("no-rcnn-nms", {"no_rcnn_nms": True}),
         ("no-fusion", {"no_fusion": True}),
+        ("cheap-roi", {"cheap_roi": True}),
         ("no-proposal", {"no_proposal": True}),
         ("no-anchmask", {"no_anchmask": True}),
         ("mask-traced-ones", {"traced_ones_mask": True}),
         ("mask-no-interleave", {"no_interleave": True}),
         ("rpn-only", {"rpn_only": True}),
     ]
+    if args.only:
+        keep = set(args.only.split(","))
+        variants = [v for v in variants if v[0] in keep]
     results = {}
     for name, toggles in variants:
         f = jax.jit(partial(pipeline, **toggles))
