@@ -58,7 +58,13 @@ def parse_args(argv=None):
 def make_fixture(root: str, cfg, n_frames: int = 6, seed: int = 0):
     """Write a synthetic KITTI object dir: a dense car-sized cluster per
     frame on a sparse ground plane, with a camera-coordinate label that
-    parses back (kitti_label_to_lidar_box3d) to the cluster's lidar box."""
+    parses back (kitti_label_to_lidar_box3d) to the cluster's lidar box.
+
+    Poses and sizes are INDEPENDENTLY sampled per frame (position uniform
+    over the grid interior, length/width/height jittered around car scale),
+    so a train/held-out split of fixture frames is a genuine generalization
+    probe: a model that merely memorizes training-frame anchors scores zero
+    on the held-out frames (VERDICT r4 next-round #3)."""
     import numpy as np
     from PIL import Image
 
@@ -74,15 +80,19 @@ def make_fixture(root: str, cfg, n_frames: int = 6, seed: int = 0):
     h, w = cfg.rgb_shape[:2]
     for i in range(n_frames):
         tag = f"{i:06d}"
-        cx = x_lo + span_x * (0.35 + 0.04 * i)
-        cy = y_lo + span_y * (0.35 + 0.05 * i)
+        # independent pose + size draws (margin keeps the box in-grid)
+        cx = x_lo + span_x * rng.uniform(0.25, 0.75)
+        cy = y_lo + span_y * rng.uniform(0.25, 0.75)
+        length = rng.uniform(3.8, 4.2)
+        width = rng.uniform(1.5, 1.7)
+        height = rng.uniform(1.4, 1.6)
         ground = np.stack([rng.uniform(x_lo, x_hi, 4000),
                            rng.uniform(y_lo, y_hi, 4000),
                            rng.uniform(-2.0, -1.8, 4000),
                            rng.uniform(0, 0.2, 4000)], 1)
-        car = np.stack([rng.uniform(cx - 2, cx + 2, 3000),
-                        rng.uniform(cy - 0.8, cy + 0.8, 3000),
-                        rng.uniform(-1.6, -0.2, 3000),
+        car = np.stack([rng.uniform(cx - length / 2, cx + length / 2, 3000),
+                        rng.uniform(cy - width / 2, cy + width / 2, 3000),
+                        rng.uniform(-1.6, -1.6 + height, 3000),
                         rng.uniform(0.6, 1.0, 3000)], 1)
         pts = np.concatenate([ground, car]).astype(np.float32)
         pts.tofile(os.path.join(base, "velodyne", tag + ".bin"))
@@ -94,8 +104,8 @@ def make_fixture(root: str, cfg, n_frames: int = 6, seed: int = 0):
         cam = np.asarray(b3.lidar_to_camera_points(
             np.array([[cx, cy, -1.6]], np.float32), cfg))[0]
         line = ("Car 0.0 0 0.0 0 0 50 50 "
-                f"1.5 1.6 4.0 {cam[0]:.4f} {cam[1]:.4f} {cam[2]:.4f} "
-                f"{ry:.4f}")
+                f"{height:.2f} {width:.2f} {length:.2f} "
+                f"{cam[0]:.4f} {cam[1]:.4f} {cam[2]:.4f} {ry:.4f}")
         with open(os.path.join(base, "label_2", tag + ".txt"), "w") as f:
             f.write(line + "\n")
     return root
