@@ -125,7 +125,7 @@ def greedy_nms_np(boxes, scores, iou_threshold):
     Same pick order (stable descending score, lowest index wins ties, like
     jnp.argmax) and the same division-free strict suppression rule
     ``inter * (1 + t) > t * (area_i + area_j)``, so the keep-set matches the
-    in-graph kernel bit-for-bit on float32 inputs (tests/test_nms.py asserts
+    in-graph kernel bit-for-bit on float32 inputs (tests/test_ops.py asserts
     this). Exists because calling the jitted kernel with ``max_out =
     len(candidates)`` retraces per distinct candidate count — a recompile
     storm when host tooling loops it per frame.

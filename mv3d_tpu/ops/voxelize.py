@@ -3,7 +3,9 @@
 This replaces the reference's entire preprocessing zoo — the pure-python triple
 loop (src/data.py:296-367), the PyCUDA kernels
 (src/net/utility/front_top_kernel.cu + front_top_preprocess.py:29-193) and the
-ctypes C voxelizer (src/lidar_data_preprocess/.../LidarTopPreprocess.c) — with a
+ctypes C voxelizer
+(src/lidar_data_preprocess/Python_to_C_Interface/ver3/LidarTopPreprocess.c) —
+with a
 single jit-able XLA program:
 
   * fixed-size padded point buffer (static shapes; invalid points are routed to
