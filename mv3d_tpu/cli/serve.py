@@ -10,14 +10,17 @@ HTTP with zero dependencies beyond the stdlib:
   * ``POST /predict``  -> body is an ``.npz`` archive with ``points``
     (M, 4) float32 and ``rgb`` (H, W, 3); response is an ``.npz`` with
     ``boxes3d`` (K, 8, 3) and ``probs`` (K,). Send
-    ``Accept: application/json`` for a JSON response instead.
+    ``Accept: application/json`` for a JSON response instead. For a
+    batched request against a batch>1 artifact, pack up to B frames as
+    ``points_0/rgb_0 .. points_{F-1}/rgb_{F-1}``; the response carries
+    ``boxes3d_i``/``probs_i`` per frame (JSON: a ``frames`` list).
 
 The reference has no serving story at all — deployment re-runs the TF
-graph-building source in-process (reference mv3d.py:666-691). Batch
-assembly is the client's business here: the endpoint is frame-at-a-time
-(batch_size=1 artifacts); put a standard HTTP load balancer in front for
-fan-out, or use `parallel.make_sharded_infer_step` in-process for
-multi-chip batch serving.
+graph-building source in-process (reference mv3d.py:666-691). Artifacts of
+any frozen batch size are served: single-frame requests are padded to the
+batch with empty frames (``ServingModel.predict_batch``); put a standard
+HTTP load balancer in front for fan-out, or use
+`parallel.make_sharded_infer_step` in-process for multi-chip batch serving.
 """
 
 from __future__ import annotations
@@ -48,10 +51,6 @@ def make_server(artifact_dir: str, host: str = "127.0.0.1",
     from ..serving import load_serving
 
     model = load_serving(artifact_dir)
-    if model.meta["batch_size"] != 1:
-        raise ValueError("serve needs a batch_size=1 artifact "
-                         f"(got {model.meta['batch_size']}); re-export with "
-                         "--batch-size 1")
     lock = threading.Lock()   # one XLA program; serialize executions
 
     class Handler(BaseHTTPRequestHandler):
@@ -79,20 +78,43 @@ def make_server(artifact_dir: str, host: str = "127.0.0.1",
                                    "application/json")
             try:
                 raw = self.rfile.read(int(self.headers["Content-Length"]))
+                frames = []
                 with np.load(io.BytesIO(raw)) as z:
-                    points = z["points"]
-                    rgb = z["rgb"]
+                    if "points" in z.files:        # single frame
+                        frames = [(z["points"], z["rgb"])]
+                        batched = False
+                    else:                          # points_0/rgb_0, ...
+                        batched = True
+                        i = 0
+                        while f"points_{i}" in z.files:
+                            frames.append((z[f"points_{i}"], z[f"rgb_{i}"]))
+                            i += 1
+                        if not frames:
+                            raise ValueError(
+                                "npz needs points/rgb or points_i/rgb_i")
                 with lock:
-                    boxes3d, probs = model.predict(points, rgb)
+                    results = model.predict_batch(frames)
             except Exception as e:  # noqa: BLE001 — client gets the cause
                 return self._reply(400, json.dumps(
                     {"error": repr(e)[:500]}).encode(), "application/json")
             if "application/json" in (self.headers.get("Accept") or ""):
-                body = json.dumps({"boxes3d": boxes3d.tolist(),
-                                   "probs": probs.tolist()}).encode()
+                if batched:
+                    body = json.dumps({"frames": [
+                        {"boxes3d": b.tolist(), "probs": p.tolist()}
+                        for b, p in results]}).encode()
+                else:
+                    b, p = results[0]
+                    body = json.dumps({"boxes3d": b.tolist(),
+                                       "probs": p.tolist()}).encode()
                 return self._reply(200, body, "application/json")
             buf = io.BytesIO()
-            np.savez_compressed(buf, boxes3d=boxes3d, probs=probs)
+            if batched:
+                np.savez_compressed(buf, **{
+                    k: v for i, (b, p) in enumerate(results)
+                    for k, v in ((f"boxes3d_{i}", b), (f"probs_{i}", p))})
+            else:
+                np.savez_compressed(buf, boxes3d=results[0][0],
+                                    probs=results[0][1])
             self._reply(200, buf.getvalue(), "application/octet-stream")
 
     return ThreadingHTTPServer((host, port), Handler)

@@ -196,27 +196,49 @@ class ServingModel:
     def predict(self, points: np.ndarray, rgb: np.ndarray
                 ) -> Tuple[np.ndarray, np.ndarray]:
         """Single-frame convenience: pad/truncate an (M, 4) cloud to the
-        frozen point bucket and return (boxes3d (K,8,3), probs (K,)) for the
-        surviving detections. Requires ``batch_size == 1`` artifacts."""
-        assert self.meta["batch_size"] == 1, "predict() needs batch_size=1"
+        frozen point bucket and return (boxes3d (K,8,3), probs (K,)) for
+        the surviving detections. Works with ANY artifact batch size: the
+        frame is padded to the frozen batch with empty frames."""
+        return self.predict_batch([(points, rgb)])[0]
+
+    def predict_batch(self, frames: Sequence[Tuple[np.ndarray, np.ndarray]]
+                      ) -> list:
+        """Run up to ``meta['batch_size']`` frames in one program execution.
+
+        ``frames`` is a sequence of (points (M,4), rgb (H,W,3)) pairs; the
+        batch is padded to the frozen size with empty frames
+        (num_points=0, which the in-graph voxelizer masks out entirely).
+        Returns a list of (boxes3d (K,8,3), probs (K,)) per real frame —
+        the server-side micro-batching primitive behind cli/serve.py."""
+        bsz = self.meta["batch_size"]
+        if not 1 <= len(frames) <= bsz:
+            raise ValueError(
+                f"predict_batch got {len(frames)} frames; artifact batch "
+                f"size is {bsz}")
         n = self.meta["max_points"]
-        pts = np.asarray(points, np.float32)[:n]
-        m = pts.shape[0]
-        pad = np.full((n - m, 4), -1e9, np.float32)
-        pts = np.concatenate([pts, pad], 0)[None]
-        num = np.array([m], np.int32)
-        rgb = np.asarray(rgb, np.float32)[None]
+        h, w, c = self.meta["rgb_shape"]
+        pts = np.full((bsz, n, 4), -1e9, np.float32)
+        num = np.zeros(bsz, np.int32)
+        rgbs = np.zeros((bsz, h, w, c), np.float32)
+        for i, (p, r) in enumerate(frames):
+            p = np.asarray(p, np.float32)[:n]
+            pts[i, : p.shape[0]] = p
+            num[i] = p.shape[0]
+            rgbs[i] = np.asarray(r, np.float32)
         if self.meta["quantized"]:
             # quantize host-side with the grid from meta (the matching
             # dequantizer is baked into the frozen program) — no cfg needed
             from ..ops.quantize import quantize_points
             b = self.meta["quant_bounds"]
-            q, r = quantize_points(pts, bounds=(b["lo"], b["hi"]))
-            boxes3d, probs, mask = self(q, r, num, rgb)
+            q, rq = quantize_points(pts, bounds=(b["lo"], b["hi"]))
+            boxes3d, probs, mask = self(q, rq, num, rgbs)
         else:
-            boxes3d, probs, mask = self(pts, num, rgb)
-        keep = mask[0].astype(bool)
-        return boxes3d[0][keep], probs[0][keep]
+            boxes3d, probs, mask = self(pts, num, rgbs)
+        out = []
+        for i in range(len(frames)):
+            keep = mask[i].astype(bool)
+            out.append((boxes3d[i][keep], probs[i][keep]))
+        return out
 
 
 def load_serving(artifact_dir: str) -> ServingModel:

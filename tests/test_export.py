@@ -204,3 +204,79 @@ def test_serve_http_endpoint(variables, tmp_path):
             assert e.code == 400 and "error" in json.loads(e.read())
     finally:
         srv.shutdown()
+
+
+def test_serve_batched_artifact_and_concurrency(variables, tmp_path):
+    """VERDICT r4 #8: batch>1 artifacts serve single-frame AND stacked
+    requests (predict_batch pads to the frozen batch with empty frames),
+    and the endpoint survives concurrent clients — identical inputs get
+    identical answers under contention."""
+    import io
+    import threading
+    import urllib.request
+
+    from mv3d_tpu.cli.serve import make_server
+
+    out = export_serving(variables, CFG, str(tmp_path / "artb"),
+                         batch_size=2, score_threshold=0.0)
+    served = load_serving(out)
+    pts, _, rgb = _inputs(b=2, seed=3)
+
+    # predict() works on a batch-2 artifact (pads with an empty frame)
+    b0, p0 = served.predict(pts[0], rgb[0])
+    assert b0.shape[1:] == (8, 3) and b0.shape[0] == p0.shape[0]
+
+    # predict_batch: 2 frames in one execution, per-frame results match
+    # the padded single-frame path
+    both = served.predict_batch([(pts[0], rgb[0]), (pts[1], rgb[1])])
+    assert len(both) == 2
+    np.testing.assert_array_equal(both[0][0], b0)
+    with pytest.raises(ValueError, match="batch"):
+        served.predict_batch([(pts[0], rgb[0])] * 3)
+
+    srv = make_server(out, port=0)
+    port = srv.server_address[1]
+    threading.Thread(target=srv.serve_forever, daemon=True).start()
+    try:
+        # stacked request form: points_i/rgb_i in, boxes3d_i/probs_i out
+        buf = io.BytesIO()
+        np.savez_compressed(buf, points_0=pts[0], rgb_0=rgb[0],
+                            points_1=pts[1], rgb_1=rgb[1])
+        req = urllib.request.Request(
+            f"http://127.0.0.1:{port}/predict", data=buf.getvalue(),
+            method="POST")
+        with urllib.request.urlopen(req, timeout=120) as r:
+            with np.load(io.BytesIO(r.read())) as z:
+                np.testing.assert_array_equal(z["boxes3d_0"], both[0][0])
+                np.testing.assert_array_equal(z["boxes3d_1"], both[1][0])
+                np.testing.assert_array_equal(z["probs_1"], both[1][1])
+
+        # concurrent single-frame clients: all succeed, all identical
+        single = io.BytesIO()
+        np.savez_compressed(single, points=pts[0], rgb=rgb[0])
+        body = single.getvalue()
+        results, errors = [None] * 6, []
+
+        def client(i):
+            try:
+                rq = urllib.request.Request(
+                    f"http://127.0.0.1:{port}/predict", data=body,
+                    method="POST")
+                with urllib.request.urlopen(rq, timeout=180) as resp:
+                    with np.load(io.BytesIO(resp.read())) as z:
+                        results[i] = (z["boxes3d"], z["probs"])
+            except Exception as e:  # noqa: BLE001 — collected for assert
+                errors.append(repr(e))
+
+        threads = [threading.Thread(target=client, args=(i,))
+                   for i in range(6)]
+        for t in threads:
+            t.start()
+        for t in threads:
+            t.join(timeout=300)
+        assert not errors, errors
+        for bx, pr in results:
+            np.testing.assert_array_equal(bx, b0)
+            np.testing.assert_array_equal(pr, p0)
+    finally:
+        srv.shutdown()
